@@ -1,0 +1,26 @@
+"""Data layer: host-side graphs, padded device batches, loaders, synthesis."""
+
+from connectome_gnn_tpu.data.atlas import NUM_REGIONS, REGION_NAMES
+from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round_up
+from connectome_gnn_tpu.data.graph import ConnectomeGraph
+from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
+from connectome_gnn_tpu.data.synthetic import (
+    TRAIT_NAMES,
+    generate_connectome,
+    generate_dataset,
+    small_world_stats,
+)
+
+__all__ = [
+    "NUM_REGIONS",
+    "REGION_NAMES",
+    "TRAIT_NAMES",
+    "ConnectomeBatch",
+    "ConnectomeGraph",
+    "ConnectomeDataLoader",
+    "collate_graphs",
+    "generate_connectome",
+    "generate_dataset",
+    "round_up",
+    "small_world_stats",
+]

@@ -1,0 +1,105 @@
+"""Batch loader with jit-stable shapes.
+
+Mirrors the reference ``ConnectomeDataLoader`` (reference
+``connectome_gnn/graph.py:174-197``: shuffle, slice, collate) but is designed
+for XLA's compile-once model: every batch a loader yields has **identical
+static shapes** — fixed graph-slot count, fixed node/edge budgets — so the
+jitted train step compiles exactly once.  The final partial batch is padded
+with empty graph slots and masked via ``label_mask`` instead of being
+shape-ragged.
+
+Shuffling uses an explicit numpy Generator seeded per epoch (the reference
+leans on torch's global RNG, graph.py:193; explicit seeding is the JAX-native
+equivalent and keeps epochs reproducible).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Sequence
+
+from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round_up
+from connectome_gnn_tpu.data.graph import ConnectomeGraph
+
+import numpy as np
+
+
+class ConnectomeDataLoader:
+    """Minimal loader that packs ``ConnectomeGraph`` objects into padded
+    fixed-shape :class:`ConnectomeBatch` mini-batches.
+
+    Parameters
+    ----------
+    dataset
+        Sequence of host-side graphs.
+    batch_size
+        Graph slots per batch (every batch, including the last, has exactly
+        this many slots).
+    shuffle
+        Reshuffle indices each epoch.
+    seed
+        Base RNG seed for shuffling; epoch ``t`` uses ``seed + t``.
+    node_budget / edge_budget
+        Static per-batch padding budgets.  Default: the worst-case batch
+        (sum of the ``batch_size`` largest graphs), rounded to hardware
+        multiples — guaranteeing a single compiled shape for any epoch.
+    drop_last
+        Drop the final partial batch instead of padding it.
+    """
+
+    def __init__(
+        self,
+        dataset: Sequence[ConnectomeGraph],
+        batch_size: int = 16,
+        shuffle: bool = True,
+        seed: int = 0,
+        node_budget: Optional[int] = None,
+        edge_budget: Optional[int] = None,
+        node_multiple: int = 8,
+        edge_multiple: int = 128,
+        drop_last: bool = False,
+    ):
+        if len(dataset) == 0:
+            raise ValueError("dataset is empty")
+        self.dataset = list(dataset)
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.drop_last = bool(drop_last)
+        self._epoch = 0
+
+        if node_budget is None or edge_budget is None:
+            nodes = sorted((g.num_nodes for g in self.dataset), reverse=True)
+            edges = sorted((g.num_edges for g in self.dataset), reverse=True)
+            k = min(self.batch_size, len(self.dataset))
+            worst_nodes = sum(nodes[:k])
+            worst_edges = sum(edges[:k])
+            if node_budget is None:
+                node_budget = round_up(worst_nodes, node_multiple)
+            if edge_budget is None:
+                edge_budget = round_up(worst_edges, edge_multiple)
+        self.node_budget = int(node_budget)
+        self.edge_budget = int(edge_budget)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def __iter__(self) -> Iterator[ConnectomeBatch]:
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(indices)
+            self._epoch += 1
+        for start in range(0, len(indices), self.batch_size):
+            chunk = indices[start : start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            yield collate_graphs(
+                [self.dataset[i] for i in chunk],
+                num_graphs=self.batch_size,
+                node_budget=self.node_budget,
+                edge_budget=self.edge_budget,
+            )

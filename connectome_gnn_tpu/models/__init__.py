@@ -1,0 +1,23 @@
+"""Model families: GCN and GraphSAGE connectome classifiers."""
+
+from connectome_gnn_tpu.models.compat import params_from_reference_state_dict
+from connectome_gnn_tpu.models.connectome import (
+    GCNConnectome,
+    GraphSAGEConnectome,
+)
+from connectome_gnn_tpu.models.layers import (
+    gcn_layer_apply,
+    gcn_layer_init,
+    sage_layer_apply,
+    sage_layer_init,
+)
+
+__all__ = [
+    "GCNConnectome",
+    "GraphSAGEConnectome",
+    "gcn_layer_apply",
+    "gcn_layer_init",
+    "params_from_reference_state_dict",
+    "sage_layer_apply",
+    "sage_layer_init",
+]

@@ -1,0 +1,119 @@
+"""Message-passing layers: GCN and GraphSAGE convolutions.
+
+Pure init/apply function pairs over explicit parameter pytrees, operating on
+the padded COO batch layout.  Numeric contract (reference
+``connectome_gnn/models.py``):
+
+* ``GCNLayer``: weighted symmetric-normalized convolution
+  ``H' = D̂^{-1/2} Â D̂^{-1/2} (H W) + b`` with self-loop weight 1.0,
+  Xavier-uniform kernel, zero-init bias added *after* aggregation
+  (models.py:78-114).
+* ``SAGELayer``: weighted-mean neighbour aggregation, concat with self
+  features, single linear + ReLU; Xavier kernel with torch-default bias and
+  no self-loops (models.py:121-152).
+
+Both use the ``+1e-8`` epsilon denominators of the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from connectome_gnn_tpu.nn.initializers import xavier_uniform
+from connectome_gnn_tpu.nn.layers import dense_apply, xavier_dense_init
+from connectome_gnn_tpu.ops.gcn_norm import gcn_normalize
+from connectome_gnn_tpu.ops.segment import coo_spmm, segment_sum
+
+EPS = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# GCN
+# ---------------------------------------------------------------------------
+
+
+def gcn_layer_init(key: jax.Array, in_channels: int, out_channels: int) -> dict:
+    """Xavier-uniform kernel ``[in, out]`` + zero bias (models.py:78-82)."""
+    return {
+        "kernel": xavier_uniform(key, in_channels, out_channels),
+        "bias": jnp.zeros((out_channels,), jnp.float32),
+    }
+
+
+def gcn_layer_apply(
+    params: dict,
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    edge_weight: jnp.ndarray,
+    *,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    """Symmetric-normalized weighted graph convolution.
+
+    Transform-then-aggregate (models.py:111-113): the dense transform runs
+    on the MXU at width ``out_channels``; aggregation is a gather-scale-
+    segment-sum over the receiver-sorted edge list, with the self-loop block
+    folded into an elementwise rescale (see :mod:`ops.gcn_norm`).
+    """
+    num_nodes = x.shape[0]
+    norm = gcn_normalize(
+        senders,
+        receivers,
+        edge_weight,
+        num_nodes,
+        indices_are_sorted=indices_are_sorted,
+    )
+    xw = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
+    out = coo_spmm(
+        norm.edge_norm,
+        senders,
+        receivers,
+        xw,
+        num_nodes,
+        indices_are_sorted=indices_are_sorted,
+    )
+    out = out + norm.self_norm[:, None] * xw
+    return out + params["bias"]
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE
+# ---------------------------------------------------------------------------
+
+
+def sage_layer_init(key: jax.Array, in_channels: int, out_channels: int) -> dict:
+    """Xavier kernel over concat(self, agg) with torch-default bias
+    (models.py:130-134)."""
+    return xavier_dense_init(key, 2 * in_channels, out_channels)
+
+
+def sage_layer_apply(
+    params: dict,
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    edge_weight: jnp.ndarray,
+    *,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    """Weighted-mean aggregate → concat → linear → ReLU (models.py:136-152)."""
+    num_nodes = x.shape[0]
+    msg_sum = coo_spmm(
+        edge_weight,
+        senders,
+        receivers,
+        x,
+        num_nodes,
+        indices_are_sorted=indices_are_sorted,
+    )
+    w_sum = segment_sum(
+        edge_weight[:, None],
+        receivers,
+        num_nodes,
+        indices_are_sorted=indices_are_sorted,
+    )
+    agg = msg_sum / (w_sum + EPS)
+    combined = jnp.concatenate([x, agg], axis=1)
+    return jax.nn.relu(dense_apply(params, combined))

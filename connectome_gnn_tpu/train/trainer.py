@@ -1,0 +1,231 @@
+"""Training loop: jitted steps, early stopping, best-weights restore.
+
+Mirrors the reference ``Trainer`` contract (reference
+``connectome_gnn/train.py:19-127``): cross-entropy objective, per-epoch
+train/eval with loss accumulation weighted by real graph count, early
+stopping on validation loss with patience, best-state snapshot and restore.
+
+TPU-native structure: the per-batch work is two jitted pure functions
+(``train_step``: value_and_grad + optax update + BatchNorm state advance;
+``eval_step``: logits → masked loss/accuracy sums) compiled once thanks to
+the loader's fixed batch shapes.  The epoch driver stays on host and only
+pulls scalars off device once per epoch.  Padded graph slots are excluded
+from the loss and metrics via ``label_mask``, so numbers match the
+reference's unpadded semantics exactly.
+
+The default optimizer reproduces the reference recipe
+``torch.optim.Adam(lr=1e-3, weight_decay=1e-4)``: in torch, Adam's
+``weight_decay`` adds ``wd · θ`` to the *gradient* before the moment
+updates (L2 regularization, not AdamW), which is
+``optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from connectome_gnn_tpu.data.batch import ConnectomeBatch
+from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
+
+
+def reference_adam(
+    learning_rate: float = 1e-3, weight_decay: float = 1e-4
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent (L2-into-grad Adam)."""
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate),
+        )
+    return optax.adam(learning_rate)
+
+
+class Trainer:
+    """Training driver for connectome GNN classifiers.
+
+    Parameters
+    ----------
+    model
+        A :class:`GCNConnectome` / :class:`GraphSAGEConnectome` (or any
+        object with the same ``init`` / ``apply`` protocol).
+    optimizer
+        An ``optax.GradientTransformation``; defaults to the reference
+        recipe (Adam lr=1e-3 with L2 weight decay 1e-4).
+    seed
+        PRNG seed for parameter init and dropout streams.
+    params / state
+        Optional pre-built parameter/state pytrees (e.g. loaded from a
+        checkpoint or converted from reference weights).
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        seed: int = 0,
+        params: Optional[dict] = None,
+        state: Optional[dict] = None,
+    ):
+        self.model = model
+        self.optimizer = optimizer if optimizer is not None else reference_adam()
+
+        key = jax.random.PRNGKey(seed)
+        init_key, self._rng = jax.random.split(key)
+        if params is None or state is None:
+            init_params, init_state = model.init(init_key)
+            params = params if params is not None else init_params
+            state = state if state is not None else init_state
+        self.params = params
+        self.state = state
+        self.opt_state = self.optimizer.init(self.params)
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    # Jitted step builders
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        model, optimizer = self.model, self.optimizer
+
+        @jax.jit
+        def train_step(params, state, opt_state, rng, batch: ConnectomeBatch):
+            rng, step_key = jax.random.split(rng)
+
+            def loss_fn(p):
+                logits, new_state = model.apply(
+                    p, state, batch, train=True, rng=step_key
+                )
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch.labels
+                )
+                mask = batch.label_mask.astype(jnp.float32)
+                n = jnp.sum(mask)
+                loss = jnp.sum(ce * mask) / jnp.maximum(n, 1.0)
+                return loss, (new_state, n)
+
+            (loss, (new_state, n)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_state, new_opt_state, rng, loss, n
+
+        return train_step
+
+    def _build_eval_step(self):
+        model = self.model
+
+        @jax.jit
+        def eval_step(params, state, batch: ConnectomeBatch):
+            logits, _ = model.apply(params, state, batch, train=False)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch.labels
+            )
+            mask = batch.label_mask.astype(jnp.float32)
+            preds = jnp.argmax(logits, axis=1)
+            correct = jnp.sum(
+                (preds == batch.labels).astype(jnp.int32) * batch.label_mask
+            )
+            return jnp.sum(ce * mask), correct, jnp.sum(mask)
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # Public API (mirrors reference train.py:41-127)
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, loader: ConnectomeDataLoader) -> float:
+        """One optimization pass over ``loader``; returns mean loss per graph."""
+        total_loss, total_graphs = 0.0, 0.0
+        for batch in loader:
+            (
+                self.params,
+                self.state,
+                self.opt_state,
+                self._rng,
+                loss,
+                n,
+            ) = self._train_step(
+                self.params, self.state, self.opt_state, self._rng, batch
+            )
+            n = float(n)
+            total_loss += float(loss) * n
+            total_graphs += n
+        return total_loss / max(total_graphs, 1.0)
+
+    def evaluate(self, loader: ConnectomeDataLoader) -> dict:
+        """Masked accuracy / mean loss over ``loader`` (no grad, eval mode)."""
+        total_loss, correct, total = 0.0, 0, 0
+        for batch in loader:
+            loss_sum, batch_correct, n = self._eval_step(
+                self.params, self.state, batch
+            )
+            total_loss += float(loss_sum)
+            correct += int(batch_correct)
+            total += int(n)
+        return {
+            "accuracy": correct / max(total, 1),
+            "loss": total_loss / max(total, 1),
+            "correct": correct,
+            "total": total,
+        }
+
+    def fit(
+        self,
+        train_loader: ConnectomeDataLoader,
+        val_loader: ConnectomeDataLoader,
+        num_epochs: int = 50,
+        patience: int = 10,
+        verbose: bool = True,
+    ) -> dict:
+        """Train with early stopping on validation loss.
+
+        Semantics match reference train.py:76-127: snapshot the best
+        parameters whenever val loss improves, stop after ``patience``
+        epochs without improvement, restore the best snapshot at the end.
+        Returns a history dict with ``train_loss`` / ``val_loss`` /
+        ``val_acc`` lists.
+        """
+        history: dict = {"train_loss": [], "val_loss": [], "val_acc": []}
+        best_val_loss = float("inf")
+        best_epoch = 0
+        best_snapshot = None
+
+        for epoch in range(1, num_epochs + 1):
+            train_loss = self.train_epoch(train_loader)
+            val_metrics = self.evaluate(val_loader)
+
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_metrics["loss"])
+            history["val_acc"].append(val_metrics["accuracy"])
+
+            if verbose:
+                print(
+                    f"Epoch {epoch:3d} | "
+                    f"train_loss={train_loss:.4f} | "
+                    f"val_loss={val_metrics['loss']:.4f} | "
+                    f"val_acc={val_metrics['accuracy']:.3f}"
+                )
+
+            if val_metrics["loss"] < best_val_loss:
+                best_val_loss = val_metrics["loss"]
+                best_epoch = epoch
+                # jax arrays are immutable — holding the references IS the
+                # snapshot (the reference needs per-tensor .clone(),
+                # train.py:116).
+                best_snapshot = (self.params, self.state)
+
+            if epoch - best_epoch >= patience:
+                if verbose:
+                    print(f"Early stop at epoch {epoch} (best={best_epoch})")
+                break
+
+        if best_snapshot is not None:
+            self.params, self.state = best_snapshot
+        return history

@@ -1,0 +1,127 @@
+"""Kernel-level tests: segment ops and GCN normalization vs numpy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from connectome_gnn_tpu.ops import (
+    coo_spmm,
+    gcn_normalize,
+    graph_mean_pool,
+    segment_mean,
+    segment_sum,
+)
+
+
+def np_segment_sum(data, ids, num_segments):
+    out = np.zeros((num_segments,) + data.shape[1:], dtype=data.dtype)
+    np.add.at(out, ids, data)
+    return out
+
+
+class TestSegmentOps:
+    def test_segment_sum_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(50, 8)).astype(np.float32)
+        ids = np.sort(rng.integers(0, 10, size=50)).astype(np.int32)
+        out = segment_sum(jnp.asarray(data), jnp.asarray(ids), 10, indices_are_sorted=True)
+        assert np.allclose(out, np_segment_sum(data, ids, 10), atol=1e-5)
+
+    def test_out_of_range_ids_dropped(self):
+        data = jnp.ones((4, 2), jnp.float32)
+        ids = jnp.array([0, 1, 2, 2], jnp.int32)  # segment id 2 == num_segments
+        out = segment_sum(data, ids, 2)
+        assert np.allclose(out, [[1, 1], [1, 1]])
+
+    def test_segment_mean_epsilon_denominator(self):
+        # empty segment → 0 / (0 + 1e-8) = 0, matching reference models.py:47
+        data = jnp.ones((2, 3), jnp.float32)
+        ids = jnp.array([0, 0], jnp.int32)
+        out = segment_mean(data, ids, 2)
+        assert np.allclose(out[0], 1.0, atol=1e-5)
+        assert np.allclose(out[1], 0.0)
+
+    def test_graph_mean_pool(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(12, 4)).astype(np.float32)
+        gids = np.repeat([0, 1, 2], 4).astype(np.int32)
+        out = graph_mean_pool(jnp.asarray(x), jnp.asarray(gids), 3)
+        expected = x.reshape(3, 4, 4).mean(axis=1)
+        assert np.allclose(out, expected, atol=1e-5)
+
+    def test_coo_spmm_matches_dense(self):
+        rng = np.random.default_rng(2)
+        n, e, f = 16, 60, 8
+        senders = rng.integers(0, n, size=e).astype(np.int32)
+        receivers = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+        w = rng.random(e).astype(np.float32)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        out = coo_spmm(
+            jnp.asarray(w), jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(x), n,
+        )
+        A = np.zeros((n, n), np.float32)
+        for s, r, wi in zip(senders, receivers, w):
+            A[r, s] += wi
+        assert np.allclose(out, A @ x, atol=1e-4)
+
+
+class TestGCNNormalize:
+    def test_matches_dense_formula(self):
+        rng = np.random.default_rng(3)
+        n, pairs = 10, 18
+        u = rng.integers(0, n, size=pairs)
+        v = rng.integers(0, n, size=pairs)
+        w = rng.random(pairs).astype(np.float32)
+        senders = np.concatenate([u, v]).astype(np.int32)
+        receivers = np.concatenate([v, u]).astype(np.int32)
+        weights = np.concatenate([w, w])
+
+        norm = gcn_normalize(
+            jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(weights), n,
+            indices_are_sorted=False,
+        )
+        deg = np_segment_sum(weights, senders, n) + 1.0
+        dinv = 1.0 / np.sqrt(deg + 1e-8)
+        expected_edge = dinv[senders] * weights * dinv[receivers]
+        assert np.allclose(norm.edge_norm, expected_edge, atol=1e-6)
+        assert np.allclose(norm.self_norm, dinv * dinv, atol=1e-6)
+
+    def test_padded_slots_inert(self):
+        # A padded slot (no incident edges) gets deg = self-loop only.
+        senders = jnp.array([0, 1], jnp.int32)
+        receivers = jnp.array([1, 0], jnp.int32)
+        weights = jnp.array([0.5, 0.5], jnp.float32)
+        norm = gcn_normalize(senders, receivers, weights, 4)
+        assert np.allclose(norm.self_norm[2:], 1.0 / 1.00000001, atol=1e-6)
+
+    def test_full_aggregation_matches_dense_reference(self):
+        """End-to-end check of D^-1/2 (A+I) D^-1/2 X against dense math."""
+        rng = np.random.default_rng(4)
+        n, pairs, f = 12, 20, 6
+        u = rng.integers(0, n, size=pairs)
+        v = rng.integers(0, n, size=pairs)
+        w = rng.random(pairs).astype(np.float32)
+        senders = np.concatenate([u, v]).astype(np.int32)
+        receivers = np.concatenate([v, u]).astype(np.int32)
+        weights = np.concatenate([w, w])
+        x = rng.normal(size=(n, f)).astype(np.float32)
+
+        norm = gcn_normalize(
+            jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(weights), n,
+            indices_are_sorted=False,
+        )
+        out = coo_spmm(
+            norm.edge_norm, jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(x), n, indices_are_sorted=False,
+        ) + norm.self_norm[:, None] * x
+
+        A = np.zeros((n, n), np.float32)
+        for s, r, wi in zip(senders, receivers, weights):
+            A[r, s] += wi
+        A_hat = A + np.eye(n, dtype=np.float32)
+        deg = np_segment_sum(weights, senders, n) + 1.0
+        dinv = 1.0 / np.sqrt(deg + 1e-8)
+        expected = (dinv[:, None] * A_hat * dinv[None, :]) @ x
+        assert np.allclose(out, expected, atol=1e-4)

@@ -1,0 +1,102 @@
+"""Training loop tests (modeled on reference tests/test_training.py)."""
+
+import numpy as np
+import jax
+import optax
+import pytest
+
+from connectome_gnn_tpu.data import ConnectomeDataLoader, generate_dataset
+from connectome_gnn_tpu.models import GCNConnectome
+from connectome_gnn_tpu.train import (
+    Trainer,
+    reference_adam,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def small_loaders():
+    graphs = generate_dataset(num_subjects=40, num_regions=20, seed=7)
+    train_loader = ConnectomeDataLoader(graphs[:30], batch_size=10, shuffle=True, seed=0)
+    val_loader = ConnectomeDataLoader(graphs[30:], batch_size=10, shuffle=False)
+    return train_loader, val_loader
+
+
+def make_trainer(seed=0, lr=1e-3):
+    model = GCNConnectome(in_channels=5, hidden_dim=32, num_classes=2, num_layers=2)
+    return Trainer(model, optimizer=reference_adam(lr), seed=seed)
+
+
+class TestTrainer:
+    def test_fit_returns_history(self, small_loaders):
+        train_loader, val_loader = small_loaders
+        trainer = make_trainer()
+        history = trainer.fit(
+            train_loader, val_loader, num_epochs=3, patience=10, verbose=False
+        )
+        assert set(history) == {"train_loss", "val_loss", "val_acc"}
+        assert len(history["train_loss"]) == 3
+        assert len(history["val_loss"]) == 3
+        assert len(history["val_acc"]) == 3
+
+    def test_loss_decreases(self, small_loaders):
+        train_loader, val_loader = small_loaders
+        trainer = make_trainer(seed=1, lr=5e-3)
+        history = trainer.fit(
+            train_loader, val_loader, num_epochs=10, patience=20, verbose=False
+        )
+        # generous slack, mirroring reference test_training.py:35-46
+        assert history["train_loss"][-1] <= history["train_loss"][0] + 0.5
+
+    def test_evaluate_metrics(self, small_loaders):
+        _, val_loader = small_loaders
+        trainer = make_trainer()
+        metrics = trainer.evaluate(val_loader)
+        assert 0.0 <= metrics["accuracy"] <= 1.0
+        assert metrics["total"] == 10
+        assert 0 <= metrics["correct"] <= 10
+        assert np.isfinite(metrics["loss"])
+
+    def test_early_stopping_bounds_epochs(self, small_loaders):
+        train_loader, val_loader = small_loaders
+        trainer = make_trainer(seed=2)
+        history = trainer.fit(
+            train_loader, val_loader, num_epochs=50, patience=2, verbose=False
+        )
+        assert len(history["train_loss"]) <= 50
+
+    def test_best_weights_restored(self, small_loaders):
+        """After fit, evaluate() must reproduce the best recorded val loss."""
+        train_loader, val_loader = small_loaders
+        trainer = make_trainer(seed=3)
+        history = trainer.fit(
+            train_loader, val_loader, num_epochs=5, patience=10, verbose=False
+        )
+        final = trainer.evaluate(val_loader)
+        assert np.isclose(final["loss"], min(history["val_loss"]), atol=1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, small_loaders):
+        train_loader, val_loader = small_loaders
+        trainer = make_trainer(seed=4)
+        trainer.fit(train_loader, val_loader, num_epochs=2, patience=10, verbose=False)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, {"params": trainer.params, "state": trainer.state})
+
+        fresh = make_trainer(seed=5)
+        template = {"params": fresh.params, "state": fresh.state}
+        restored = restore_checkpoint(path, template)
+        fresh.params = restored["params"]
+        fresh.state = restored["state"]
+
+        a = trainer.evaluate(val_loader)
+        b = fresh.evaluate(val_loader)
+        assert np.isclose(a["loss"], b["loss"], atol=1e-6)
+        assert a["correct"] == b["correct"]
+
+    def test_missing_leaf_raises(self, tmp_path):
+        save_checkpoint(str(tmp_path / "c"), {"a": np.ones(3)})
+        with pytest.raises(KeyError):
+            restore_checkpoint(str(tmp_path / "c"), {"a": np.ones(3), "b": np.ones(2)})
