@@ -118,6 +118,7 @@ def collate_graphs(
     edge_budget: Optional[int] = None,
     node_multiple: int = 8,
     edge_multiple: int = 128,
+    num_features: Optional[int] = None,
 ) -> ConnectomeBatch:
     """Pack graphs into a padded block-diagonal :class:`ConnectomeBatch`.
 
@@ -134,9 +135,14 @@ def collate_graphs(
     node_budget / edge_budget
         Static padded sizes.  Default: total counts rounded up to
         ``node_multiple`` / ``edge_multiple``.
+    num_features
+        Feature width; required only when ``graphs`` is empty (an
+        all-padding batch, e.g. the tail shard of a sharded epoch).
     """
-    if len(graphs) == 0:
-        raise ValueError("cannot collate an empty list of graphs")
+    if len(graphs) == 0 and (num_graphs is None or num_features is None):
+        raise ValueError(
+            "collating an empty graph list requires num_graphs and num_features"
+        )
     B = num_graphs if num_graphs is not None else len(graphs)
     if B < len(graphs):
         raise ValueError(f"num_graphs={B} < len(graphs)={len(graphs)}")
@@ -150,7 +156,7 @@ def collate_graphs(
     if Q < total_edges:
         raise ValueError(f"edge_budget={Q} < total edges {total_edges}")
 
-    F = graphs[0].num_features
+    F = graphs[0].num_features if graphs else int(num_features)
     node_features = np.zeros((P, F), dtype=np.float32)
     senders = np.zeros(Q, dtype=np.int32)
     receivers = np.zeros(Q, dtype=np.int32)

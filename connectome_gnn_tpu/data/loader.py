@@ -45,6 +45,11 @@ class ConnectomeDataLoader:
         multiples — guaranteeing a single compiled shape for any epoch.
     drop_last
         Drop the final partial batch instead of padding it.
+    num_shards
+        When set, each yielded batch is a *stacked* pytree with a leading
+        device axis of size ``num_shards`` (``batch_size`` graphs split
+        evenly into per-shard sub-batches) for ``shard_map`` data
+        parallelism.  Budgets then apply per shard.
     """
 
     def __init__(
@@ -58,6 +63,7 @@ class ConnectomeDataLoader:
         node_multiple: int = 8,
         edge_multiple: int = 128,
         drop_last: bool = False,
+        num_shards: Optional[int] = None,
     ):
         if len(dataset) == 0:
             raise ValueError("dataset is empty")
@@ -66,12 +72,24 @@ class ConnectomeDataLoader:
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
         self.drop_last = bool(drop_last)
+        self.num_shards = int(num_shards) if num_shards is not None else None
         self._epoch = 0
+
+        if self.num_shards is not None and self.batch_size % self.num_shards:
+            raise ValueError(
+                f"batch_size={self.batch_size} not divisible by "
+                f"num_shards={self.num_shards}"
+            )
+        self._shard_size = (
+            self.batch_size // self.num_shards
+            if self.num_shards is not None
+            else self.batch_size
+        )
 
         if node_budget is None or edge_budget is None:
             nodes = sorted((g.num_nodes for g in self.dataset), reverse=True)
             edges = sorted((g.num_edges for g in self.dataset), reverse=True)
-            k = min(self.batch_size, len(self.dataset))
+            k = min(self._shard_size, len(self.dataset))
             worst_nodes = sum(nodes[:k])
             worst_edges = sum(edges[:k])
             if node_budget is None:
@@ -80,6 +98,7 @@ class ConnectomeDataLoader:
                 edge_budget = round_up(worst_edges, edge_multiple)
         self.node_budget = int(node_budget)
         self.edge_budget = int(edge_budget)
+        self._num_features = self.dataset[0].num_features
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -97,9 +116,29 @@ class ConnectomeDataLoader:
             chunk = indices[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            yield collate_graphs(
-                [self.dataset[i] for i in chunk],
-                num_graphs=self.batch_size,
-                node_budget=self.node_budget,
-                edge_budget=self.edge_budget,
-            )
+            if self.num_shards is None:
+                yield self._collate([self.dataset[i] for i in chunk])
+            else:
+                shards = [
+                    self._collate(
+                        [
+                            self.dataset[i]
+                            for i in chunk[
+                                s * self._shard_size : (s + 1) * self._shard_size
+                            ]
+                        ]
+                    )
+                    for s in range(self.num_shards)
+                ]
+                from connectome_gnn_tpu.parallel.data_parallel import stack_batches
+
+                yield stack_batches(shards)
+
+    def _collate(self, graphs: list) -> ConnectomeBatch:
+        return collate_graphs(
+            graphs,
+            num_graphs=self._shard_size,
+            node_budget=self.node_budget,
+            edge_budget=self.edge_budget,
+            num_features=self._num_features,
+        )

@@ -1,0 +1,139 @@
+"""Exact data parallelism over a named mesh via ``shard_map``.
+
+Batched small-graph training parallelizes over graphs: each device owns a
+shard of the packed batch (a full :class:`ConnectomeBatch` of its own) and
+the step is a ``shard_map`` over the ``"data"`` mesh axis.  Collectives:
+
+* BatchNorm moment sums are psummed inside the model (``axis_name``
+  threading) → sharded batches reproduce single-device batch statistics
+  exactly (sync-BN);
+* the loss is the globally masked mean: per-device *sums* are differentiated
+  and gradients psummed, then normalized by the global real-graph count —
+  exact even when devices hold unequal numbers of real (non-padded) graphs,
+  which happens on the final partial batch of an epoch;
+* parameters and optimizer state stay replicated; identical psummed grads
+  keep replicas bit-identical without a broadcast.
+
+Batches are sharded as *stacked* pytrees: leaves carry a leading device
+axis of size ``mesh.shape[axis_name]`` with sharding ``P(axis_name)``, so
+each device's block is exactly its shard (built host-side by
+:func:`stack_batches` — no cross-device resharding on dispatch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from connectome_gnn_tpu.data.batch import ConnectomeBatch
+
+
+def stack_batches(batches: Sequence[ConnectomeBatch]) -> ConnectomeBatch:
+    """Stack per-shard batches leaf-wise into a leading device axis.
+
+    All shards must have identical static shapes (the sharded loader
+    guarantees this).  The result is still a :class:`ConnectomeBatch`
+    pytree; array leaves are ``[D, ...]``.
+    """
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def shard_batch(
+    stacked: ConnectomeBatch, mesh: Mesh, axis_name: str = "data"
+) -> ConnectomeBatch:
+    """Place a stacked batch so each device holds its own shard."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), stacked
+    )
+
+
+def _local_shard(stacked: ConnectomeBatch) -> ConnectomeBatch:
+    """Inside shard_map: drop the (size-1) leading device axis."""
+    return jax.tree_util.tree_map(lambda x: x[0], stacked)
+
+
+def make_dp_train_step(model, optimizer, mesh: Mesh, axis_name: str = "data"):
+    """Build a jitted data-parallel train step.
+
+    Signature: ``(params, state, opt_state, step_key, stacked_batch) ->
+    (params, state, opt_state, loss, n_real)`` with params/state/opt_state
+    replicated and the batch sharded over ``axis_name``.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def _sharded_step(params, state, opt_state, step_key, stacked):
+        batch = _local_shard(stacked)
+        # Decorrelate dropout across shards while keeping the host-visible
+        # key schedule identical to single-device training.
+        key = jax.random.fold_in(step_key, jax.lax.axis_index(axis_name))
+
+        def loss_sum_fn(p):
+            logits, new_state = model.apply(
+                p, state, batch, train=True, rng=key, axis_name=axis_name
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch.labels
+            )
+            mask = batch.label_mask.astype(jnp.float32)
+            return jnp.sum(ce * mask), (new_state, jnp.sum(mask))
+
+        (local_sum, (new_state, local_n)), grads = jax.value_and_grad(
+            loss_sum_fn, has_aux=True
+        )(params)
+
+        # Under shard_map's varying-manual-axes autodiff, the cotangent of a
+        # replicated (axis-invariant) input is automatically psummed across
+        # the axis, so ``grads`` is already the GLOBAL gradient of the
+        # summed loss — an explicit psum here would double-count.  Only the
+        # global-count normalization remains.
+        n = jnp.maximum(jax.lax.psum(local_n, axis_name), 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+        loss = jax.lax.psum(local_sum, axis_name) / n
+
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # BN state was psummed inside apply → already replicated.
+        return new_params, new_state, new_opt_state, loss, n
+
+    return jax.jit(_sharded_step)
+
+
+def make_dp_eval_step(model, mesh: Mesh, axis_name: str = "data"):
+    """Build a jitted data-parallel eval step returning global
+    ``(loss_sum, correct, n_real)``."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P()),
+    )
+    def _sharded_eval(params, state, stacked):
+        batch = _local_shard(stacked)
+        logits, _ = model.apply(params, state, batch, train=False)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch.labels
+        )
+        mask = batch.label_mask.astype(jnp.float32)
+        preds = jnp.argmax(logits, axis=1)
+        correct = jnp.sum(
+            (preds == batch.labels).astype(jnp.int32) * batch.label_mask
+        )
+        return (
+            jax.lax.psum(jnp.sum(ce * mask), axis_name),
+            jax.lax.psum(correct, axis_name),
+            jax.lax.psum(jnp.sum(mask), axis_name),
+        )
+
+    return jax.jit(_sharded_eval)

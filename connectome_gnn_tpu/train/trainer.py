@@ -60,6 +60,12 @@ class Trainer:
     params / state
         Optional pre-built parameter/state pytrees (e.g. loaded from a
         checkpoint or converted from reference weights).
+    mesh / axis_name
+        When a ``jax.sharding.Mesh`` is given, training runs data-parallel
+        via ``shard_map`` over ``axis_name``: loaders must then yield
+        stacked batches (``ConnectomeDataLoader(..., num_shards=D)`` with
+        ``D == mesh.shape[axis_name]``).  Numerics are exact vs
+        single-device training (sync-BN, globally masked loss).
     """
 
     def __init__(
@@ -69,9 +75,13 @@ class Trainer:
         seed: int = 0,
         params: Optional[dict] = None,
         state: Optional[dict] = None,
+        mesh=None,
+        axis_name: str = "data",
     ):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else reference_adam()
+        self.mesh = mesh
+        self.axis_name = axis_name
 
         key = jax.random.PRNGKey(seed)
         init_key, self._rng = jax.random.split(key)
@@ -83,8 +93,19 @@ class Trainer:
         self.state = state
         self.opt_state = self.optimizer.init(self.params)
 
-        self._train_step = self._build_train_step()
-        self._eval_step = self._build_eval_step()
+        if mesh is None:
+            self._train_step = self._build_train_step()
+            self._eval_step = self._build_eval_step()
+        else:
+            from connectome_gnn_tpu.parallel.data_parallel import (
+                make_dp_eval_step,
+                make_dp_train_step,
+            )
+
+            self._dp_train_step = make_dp_train_step(
+                model, self.optimizer, mesh, axis_name
+            )
+            self._dp_eval_step = make_dp_eval_step(model, mesh, axis_name)
 
     # ------------------------------------------------------------------
     # Jitted step builders
@@ -144,16 +165,28 @@ class Trainer:
         """One optimization pass over ``loader``; returns mean loss per graph."""
         total_loss, total_graphs = 0.0, 0.0
         for batch in loader:
-            (
-                self.params,
-                self.state,
-                self.opt_state,
-                self._rng,
-                loss,
-                n,
-            ) = self._train_step(
-                self.params, self.state, self.opt_state, self._rng, batch
-            )
+            if self.mesh is None:
+                (
+                    self.params,
+                    self.state,
+                    self.opt_state,
+                    self._rng,
+                    loss,
+                    n,
+                ) = self._train_step(
+                    self.params, self.state, self.opt_state, self._rng, batch
+                )
+            else:
+                self._rng, step_key = jax.random.split(self._rng)
+                (
+                    self.params,
+                    self.state,
+                    self.opt_state,
+                    loss,
+                    n,
+                ) = self._dp_train_step(
+                    self.params, self.state, self.opt_state, step_key, batch
+                )
             n = float(n)
             total_loss += float(loss) * n
             total_graphs += n
@@ -163,9 +196,14 @@ class Trainer:
         """Masked accuracy / mean loss over ``loader`` (no grad, eval mode)."""
         total_loss, correct, total = 0.0, 0, 0
         for batch in loader:
-            loss_sum, batch_correct, n = self._eval_step(
-                self.params, self.state, batch
-            )
+            if self.mesh is None:
+                loss_sum, batch_correct, n = self._eval_step(
+                    self.params, self.state, batch
+                )
+            else:
+                loss_sum, batch_correct, n = self._dp_eval_step(
+                    self.params, self.state, batch
+                )
             total_loss += float(loss_sum)
             correct += int(batch_correct)
             total += int(n)
