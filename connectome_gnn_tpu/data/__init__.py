@@ -2,6 +2,7 @@
 
 from connectome_gnn_tpu.data.atlas import NUM_REGIONS, REGION_NAMES
 from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round_up
+from connectome_gnn_tpu.data.dense import DenseConnectomeBatch, collate_dense
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
 from connectome_gnn_tpu.data.synthetic import (
@@ -18,6 +19,8 @@ __all__ = [
     "ConnectomeBatch",
     "ConnectomeGraph",
     "ConnectomeDataLoader",
+    "DenseConnectomeBatch",
+    "collate_dense",
     "collate_graphs",
     "generate_connectome",
     "generate_dataset",

@@ -50,6 +50,10 @@ class ConnectomeDataLoader:
         device axis of size ``num_shards`` (``batch_size`` graphs split
         evenly into per-shard sub-batches) for ``shard_map`` data
         parallelism.  Budgets then apply per shard.
+    layout
+        ``"coo"`` (default) yields padded :class:`ConnectomeBatch`;
+        ``"dense"`` yields :class:`DenseConnectomeBatch` (batched dense
+        adjacency, the MXU fast path for equal-size small graphs).
     """
 
     def __init__(
@@ -64,9 +68,13 @@ class ConnectomeDataLoader:
         edge_multiple: int = 128,
         drop_last: bool = False,
         num_shards: Optional[int] = None,
+        layout: str = "coo",
     ):
         if len(dataset) == 0:
             raise ValueError("dataset is empty")
+        if layout not in ("coo", "dense"):
+            raise ValueError(f"unknown layout {layout!r}; expected 'coo' or 'dense'")
+        self.layout = layout
         self.dataset = list(dataset)
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
@@ -99,6 +107,10 @@ class ConnectomeDataLoader:
         self.node_budget = int(node_budget)
         self.edge_budget = int(edge_budget)
         self._num_features = self.dataset[0].num_features
+        # dense layout: one shared per-graph node budget
+        self._dense_node_budget = round_up(
+            max(g.num_nodes for g in self.dataset), node_multiple
+        )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -134,7 +146,16 @@ class ConnectomeDataLoader:
 
                 yield stack_batches(shards)
 
-    def _collate(self, graphs: list) -> ConnectomeBatch:
+    def _collate(self, graphs: list):
+        if self.layout == "dense":
+            from connectome_gnn_tpu.data.dense import collate_dense
+
+            return collate_dense(
+                graphs,
+                num_graphs=self._shard_size,
+                node_budget=self._dense_node_budget,
+                num_features=self._num_features,
+            )
         return collate_graphs(
             graphs,
             num_graphs=self._shard_size,

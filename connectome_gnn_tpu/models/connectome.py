@@ -24,10 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from connectome_gnn_tpu.data.batch import ConnectomeBatch
+from connectome_gnn_tpu.data.dense import DenseConnectomeBatch
 from connectome_gnn_tpu.models.layers import (
     gcn_layer_apply,
+    gcn_layer_apply_dense,
     gcn_layer_init,
     sage_layer_apply,
+    sage_layer_apply_dense,
     sage_layer_init,
 )
 from connectome_gnn_tpu.nn.layers import (
@@ -45,8 +48,10 @@ class _ConnectomeModel:
 
     #: (key, in, out) -> params     — set by subclasses
     _layer_init: Callable
-    #: (params, x, senders, receivers, w) -> x'
+    #: (params, x, senders, receivers, w) -> x'   (COO/CSR path)
     _layer_apply: Callable
+    #: (params, x [B,n,F], adj [B,n,n]) -> x'     (dense MXU path)
+    _dense_layer_apply: Callable
     #: whether encode applies an explicit ReLU after BatchNorm
     _relu_after_norm: bool
 
@@ -115,7 +120,16 @@ class _ConnectomeModel:
         rng: Optional[jax.Array] = None,
         axis_name: Optional[str] = None,
     ) -> tuple[jnp.ndarray, dict]:
-        """Graph-level embeddings ``[B, hidden_dim]`` plus updated BN state."""
+        """Graph-level embeddings ``[B, hidden_dim]`` plus updated BN state.
+
+        Dispatches on the batch layout: COO/CSR (:class:`ConnectomeBatch`,
+        general path) or dense adjacency (:class:`DenseConnectomeBatch`,
+        MXU path) — identical numerics either way.
+        """
+        if isinstance(batch, DenseConnectomeBatch):
+            return self._encode_dense(
+                params, state, batch, train=train, rng=rng, axis_name=axis_name
+            )
         x = batch.node_features
         new_norm_states = []
         drop_keys = (
@@ -144,6 +158,47 @@ class _ConnectomeModel:
                 x = jax.nn.relu(x)
             x = dropout(drop_keys[i], x, self.dropout, train=train)
         pooled = graph_mean_pool(x, batch.node_graph_ids, batch.num_graphs)
+        return pooled, {"norms": new_norm_states}
+
+    def _encode_dense(
+        self,
+        params: dict,
+        state: dict,
+        batch: DenseConnectomeBatch,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ) -> tuple[jnp.ndarray, dict]:
+        """Dense-adjacency encode: batched-matmul aggregation on the MXU."""
+        B, n, _ = batch.node_features.shape
+        x = batch.node_features
+        flat_mask = batch.node_mask.reshape(B * n)
+        new_norm_states = []
+        drop_keys = (
+            jax.random.split(rng, self.num_layers)
+            if (train and rng is not None)
+            else [None] * self.num_layers
+        )
+        for i in range(self.num_layers):
+            x = type(self)._dense_layer_apply(params["convs"][i], x, batch.adj)
+            flat, bn_state = batch_norm_apply(
+                params["norms"][i],
+                state["norms"][i],
+                x.reshape(B * n, -1),
+                flat_mask,
+                train=train,
+                axis_name=axis_name,
+            )
+            x = flat.reshape(B, n, -1)
+            new_norm_states.append(bn_state)
+            if type(self)._relu_after_norm:
+                x = jax.nn.relu(x)
+            x = dropout(drop_keys[i], x, self.dropout, train=train)
+        # Masked mean-pool per graph (same +1e-8 denominator as the
+        # segment-mean pooling, reference models.py:47).
+        m = batch.node_mask.astype(x.dtype)[:, :, None]
+        pooled = jnp.sum(x * m, axis=1) / (jnp.sum(m, axis=1) + 1e-8)
         return pooled, {"norms": new_norm_states}
 
     def apply(
@@ -180,6 +235,7 @@ class GCNConnectome(_ConnectomeModel):
 
     _layer_init = staticmethod(gcn_layer_init)
     _layer_apply = staticmethod(gcn_layer_apply)
+    _dense_layer_apply = staticmethod(gcn_layer_apply_dense)
     _relu_after_norm = True
 
 
@@ -192,4 +248,5 @@ class GraphSAGEConnectome(_ConnectomeModel):
 
     _layer_init = staticmethod(sage_layer_init)
     _layer_apply = staticmethod(sage_layer_apply)
+    _dense_layer_apply = staticmethod(sage_layer_apply_dense)
     _relu_after_norm = False

@@ -117,3 +117,42 @@ def sage_layer_apply(
     agg = msg_sum / (w_sum + EPS)
     combined = jnp.concatenate([x, agg], axis=1)
     return jax.nn.relu(dense_apply(params, combined))
+
+
+# ---------------------------------------------------------------------------
+# Dense (MXU) variants — same math over the [B, n, n] adjacency layout
+# ---------------------------------------------------------------------------
+
+
+def gcn_layer_apply_dense(
+    params: dict, x: jnp.ndarray, adj: jnp.ndarray
+) -> jnp.ndarray:
+    """GCN convolution over dense receiver-major adjacency ``[B, n, n]``.
+
+    Identical numerics to :func:`gcn_layer_apply` (degree over senders,
+    self-loop weight 1.0, ``(deg + 1e-8)^-0.5``), expressed as a batched
+    matmul so aggregation runs on the MXU.  The normalization is the same
+    for every layer of a forward pass; XLA CSEs the recomputation.
+    """
+    # Out-degree of sender j = column sum over receivers i, plus self-loop.
+    deg = jnp.sum(adj, axis=1) + 1.0
+    dinv = jax.lax.rsqrt(deg + EPS)  # [B, n]
+    adj_norm = dinv[:, :, None] * adj * dinv[:, None, :]
+
+    xw = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
+    out = (
+        jnp.matmul(adj_norm, xw, preferred_element_type=jnp.float32)
+        + (dinv * dinv)[:, :, None] * xw
+    )
+    return out + params["bias"]
+
+
+def sage_layer_apply_dense(
+    params: dict, x: jnp.ndarray, adj: jnp.ndarray
+) -> jnp.ndarray:
+    """SAGE convolution over dense adjacency: weighted-mean via matmul."""
+    msg_sum = jnp.matmul(adj, x, preferred_element_type=jnp.float32)
+    w_sum = jnp.sum(adj, axis=-1, keepdims=True)  # in-weight per receiver
+    agg = msg_sum / (w_sum + EPS)
+    combined = jnp.concatenate([x, agg], axis=-1)
+    return jax.nn.relu(dense_apply(params, combined))
