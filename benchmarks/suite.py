@@ -1,0 +1,268 @@
+#!/usr/bin/env python3
+"""Benchmark suite across the BASELINE.json configurations.
+
+Configs (BASELINE.json):
+  1. GCN  bs=16,  84-node WS subjects, hidden=64  (reference demo config)
+  2. SAGE bs=16,  84-node WS subjects, hidden=64
+  3. 360-node (HCP/Glasser-scale) graphs, hidden=256, bs=64 — larger MXU tiles
+  4. packed 512 graphs/chip, hidden=64 — throughput-bound batched aggregation
+  5. giant-graph CSR SpMM (segment-sum) edges/s/chip
+  T. GCN train step (fwd+bwd+Adam) throughput at bs=512
+
+All timings are device-side steady state: K iterations chained in one
+on-device ``fori_loop`` (inputs perturbed by the loop index so XLA cannot
+hoist the body), which removes host/tunnel dispatch noise entirely.
+
+Usage:
+    python benchmarks/suite.py [--json] [--configs 1,3,4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def device_loop_time(step_fn, args, iters: int) -> float:
+    """Seconds per iteration of ``step_fn`` in an on-device fori_loop."""
+
+    def looped(*args):
+        def body(i, carry):
+            eps = i.astype(jnp.float32) * jnp.float32(1e-30)
+            out = step_fn(*args, eps)
+            return carry + out
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    compiled = jax.jit(looped).lower(*args).compile()
+    jax.block_until_ready(compiled(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(compiled(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_small_graph_forward(model_cls=None, fused: bool = True, iters=2000):
+    from connectome_gnn_tpu.data import collate_dense, generate_dataset
+    from connectome_gnn_tpu.models import GCNConnectome
+    from connectome_gnn_tpu.ops.fused_pallas import fused_gcn_forward
+
+    if model_cls is None:
+        model_cls = GCNConnectome
+
+    graphs = generate_dataset(num_subjects=16, num_regions=84, seed=42)
+    batch = collate_dense(graphs)
+    edges = sum(g.num_edges for g in graphs)
+    model = model_cls(in_channels=5, hidden_dim=64, num_classes=2, num_layers=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    if fused:
+        def step(x, adj, mask, eps):
+            logits = fused_gcn_forward(
+                params, state, x + eps, adj, mask, num_layers=3
+            )
+            return logits[0, 0]
+
+        args = (batch.node_features, batch.adj, batch.node_mask.astype(jnp.float32))
+    else:
+        def step(x, adj, mask, eps):
+            import dataclasses
+
+            b = dataclasses.replace(batch, node_features=x + eps)
+            logits, _ = model.apply(params, state, b, train=False)
+            return logits[0, 0]
+
+        args = (batch.node_features, batch.adj, batch.node_mask)
+
+    dt = device_loop_time(step, args, iters)
+    return {
+        "us_per_batch": dt * 1e6,
+        "edge_msgs_per_s": 3 * edges / dt,
+        "graphs_per_s": 16 / dt,
+    }
+
+
+def bench_large_graphs(iters=500):
+    """Config 3: 360-node graphs, hidden=256, bs=64 (XLA dense path —
+    the auto-dispatch winner at this graph size)."""
+    import dataclasses
+
+    from connectome_gnn_tpu.data import collate_dense, generate_dataset
+    from connectome_gnn_tpu.models import GCNConnectome
+
+    graphs = generate_dataset(num_subjects=64, num_regions=360, k=16, seed=1)
+    batch = collate_dense(graphs)
+    edges = sum(g.num_edges for g in graphs)
+    model = GCNConnectome(in_channels=5, hidden_dim=256, num_classes=2, num_layers=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def step(x, eps):
+        b = dataclasses.replace(batch, node_features=x + eps)
+        logits, _ = model.apply(params, state, b, train=False)
+        return logits[0, 0]
+
+    args = (batch.node_features,)
+    dt = device_loop_time(step, args, iters)
+    return {
+        "us_per_batch": dt * 1e6,
+        "edge_msgs_per_s": 3 * edges / dt,
+        "graphs_per_s": 64 / dt,
+    }
+
+
+def bench_packed_512(iters=200):
+    """Config 4: 512 graphs/chip packed, hidden=64."""
+    from connectome_gnn_tpu.data import collate_dense, generate_dataset
+    from connectome_gnn_tpu.models import GCNConnectome
+    from connectome_gnn_tpu.ops.fused_pallas import fused_gcn_forward
+
+    graphs = generate_dataset(num_subjects=512, num_regions=84, seed=2)
+    batch = collate_dense(graphs)
+    edges = sum(g.num_edges for g in graphs)
+    model = GCNConnectome(in_channels=5, hidden_dim=64, num_classes=2, num_layers=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def step(x, adj, mask, eps):
+        logits = fused_gcn_forward(params, state, x + eps, adj, mask, num_layers=3)
+        return logits[0, 0]
+
+    args = (batch.node_features, batch.adj, batch.node_mask.astype(jnp.float32))
+    dt = device_loop_time(step, args, iters)
+    return {
+        "us_per_batch": dt * 1e6,
+        "edge_msgs_per_s": 3 * edges / dt,
+        "graphs_per_s": 512 / dt,
+    }
+
+
+def bench_spmm_giant(num_nodes=262_144, avg_degree=16, feat=64, iters=100):
+    """Config 5 (single-chip core op): CSR segment-sum SpMM edges/s."""
+    rng = np.random.default_rng(0)
+    num_edges = num_nodes * avg_degree
+    receivers = np.sort(rng.integers(0, num_nodes, num_edges)).astype(np.int32)
+    senders = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    weights = rng.random(num_edges).astype(np.float32)
+    x = rng.standard_normal((num_nodes, feat)).astype(np.float32)
+
+    from connectome_gnn_tpu.ops import coo_spmm
+
+    def step(x, s, r, w, eps):
+        out = coo_spmm(w, s, r, x + eps, num_nodes, indices_are_sorted=True)
+        return out[0, 0]
+
+    args = (jnp.asarray(x), jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(weights))
+    dt = device_loop_time(step, args, iters)
+    return {
+        "us_per_spmm": dt * 1e6,
+        "edges_per_s": num_edges / dt,
+        "num_nodes": num_nodes,
+        "num_edges": num_edges,
+    }
+
+
+def bench_train_step(iters=100):
+    """Training throughput: GCN fwd+bwd+Adam at bs=512 (dense layout)."""
+    from connectome_gnn_tpu.data import collate_dense, generate_dataset
+    from connectome_gnn_tpu.models import GCNConnectome
+
+    graphs = generate_dataset(num_subjects=512, num_regions=84, seed=4)
+    batch = collate_dense(graphs)
+    model = GCNConnectome(in_channels=5, hidden_dim=64, num_classes=2, num_layers=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.chain(optax.add_decayed_weights(1e-4), optax.adam(1e-3))
+    opt_state = opt.init(params)
+
+    import dataclasses
+
+    def step_fn(params, state, opt_state, x, eps):
+        b = dataclasses.replace(batch, node_features=x + eps)
+
+        def loss_fn(p):
+            logits, new_state = model.apply(
+                p, state, b, train=True, rng=jax.random.PRNGKey(0)
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, b.labels)
+            m = b.label_mask.astype(jnp.float32)
+            return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt, loss
+
+    # chain steps on-device: carry params/opt_state through the loop
+    def looped(params, state, opt_state, x):
+        def body(i, carry):
+            p, s, o = carry
+            eps = i.astype(jnp.float32) * jnp.float32(1e-30)
+            p, s, o, _ = step_fn(p, s, o, x, eps)
+            return (p, s, o)
+
+        return jax.lax.fori_loop(0, iters, body, (params, state, opt_state))
+
+    args = (params, state, opt_state, batch.node_features)
+    compiled = jax.jit(looped).lower(*args).compile()
+    jax.block_until_ready(compiled(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(compiled(*args))
+    dt = (time.perf_counter() - t0) / iters
+    return {"us_per_step": dt * 1e6, "graphs_per_s": 512 / dt}
+
+
+BENCHES = {
+    "1": ("GCN fwd fused, bs=16 n=84 h=64",
+          lambda: bench_small_graph_forward(fused=True)),
+    "2": ("SAGE fwd XLA-dense, bs=16 n=84 h=64",
+          lambda: _sage()),
+    "3": ("GCN fwd XLA-dense, bs=64 n=360 h=256",
+          bench_large_graphs),
+    "4": ("GCN fwd fused, packed 512 graphs n=84 h=64",
+          bench_packed_512),
+    "5": ("CSR segment-sum SpMM, 262k nodes / 4.2M edges, F=64",
+          bench_spmm_giant),
+    "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
+          bench_train_step),
+}
+
+
+def _sage():
+    from connectome_gnn_tpu.models import GraphSAGEConnectome
+
+    return bench_small_graph_forward(GraphSAGEConnectome, fused=False)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--configs", default="1,2,3,4,5,T")
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args()
+
+    results = {}
+    for key in args.configs.split(","):
+        key = key.strip()
+        name, fn = BENCHES[key]
+        print(f"# running [{key}] {name} ...", file=sys.stderr, flush=True)
+        results[key] = {"name": name, **fn()}
+
+    if args.json:
+        print(json.dumps(results, indent=2))
+    else:
+        for key, r in results.items():
+            metrics = ", ".join(
+                f"{k}={v:,.1f}" for k, v in r.items() if k != "name"
+            )
+            print(f"[{key}] {r['name']}\n    {metrics}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Host-side neighbor sampling for giant-graph training.
+
+GraphSAGE-style k-hop fanout sampling (Hamilton et al., 2017): starting
+from seed nodes, sample up to ``fanout[h]`` incoming neighbors per node at
+hop ``h``, and induce the subgraph over every reached node.  Runs on host
+numpy (data-prep work that feeds the device pipeline) and returns a
+relabeled :class:`ConnectomeGraph` plus the original node ids, so sampled
+minibatches flow through the standard collate → padded batch path.
+
+The reference suite has no sampling (its graphs are whole-brain small);
+this exists for the giant voxel-level regime (BASELINE.json config 5) where
+full-graph training per step is not desirable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from connectome_gnn_tpu.data.graph import ConnectomeGraph
+
+
+def sample_subgraph(
+    graph: ConnectomeGraph,
+    seed_nodes: Sequence[int],
+    fanout: Sequence[int],
+    rng: Optional[np.random.Generator] = None,
+) -> tuple[ConnectomeGraph, np.ndarray]:
+    """Sample a k-hop neighborhood subgraph.
+
+    Parameters
+    ----------
+    graph
+        Source graph (edges interpreted receiver-ward: hop expansion
+        follows edges *into* the frontier, matching message flow).
+    seed_nodes
+        Nodes whose representations are needed (e.g. a training minibatch).
+    fanout
+        Max sampled in-neighbors per node per hop; ``len(fanout)`` hops.
+    rng
+        Numpy generator (default: fresh unseeded).
+
+    Returns
+    -------
+    (subgraph, node_ids)
+        ``subgraph`` — relabeled :class:`ConnectomeGraph` over the reached
+        nodes, containing every original edge among them whose receiver was
+        expanded; ``node_ids`` — original id per subgraph node, with the
+        seeds first (``node_ids[:len(seed_nodes)]`` are the seeds in order).
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    src, dst = graph.edge_index
+    # in-neighbor adjacency: edges grouped by receiver
+    order = np.argsort(dst, kind="stable")
+    dst_sorted = dst[order]
+    starts = np.searchsorted(dst_sorted, np.arange(graph.num_nodes))
+    ends = np.searchsorted(dst_sorted, np.arange(graph.num_nodes), side="right")
+
+    seeds = np.asarray(list(dict.fromkeys(int(s) for s in seed_nodes)), np.int64)
+    visited = dict((int(s), i) for i, s in enumerate(seeds))
+    frontier = list(seeds)
+    kept_edges: list[int] = []
+
+    for hop_fanout in fanout:
+        next_frontier: list[int] = []
+        for node in frontier:
+            lo, hi = int(starts[node]), int(ends[node])
+            incident = order[lo:hi]
+            if len(incident) > hop_fanout:
+                incident = rng.choice(incident, size=hop_fanout, replace=False)
+            for e in incident:
+                kept_edges.append(int(e))
+                nbr = int(src[e])
+                if nbr not in visited:
+                    visited[nbr] = len(visited)
+                    next_frontier.append(nbr)
+        frontier = next_frontier
+        if not frontier:
+            break
+
+    node_ids = np.fromiter(visited.keys(), np.int64, len(visited))
+    relabel = np.full(graph.num_nodes, -1, np.int64)
+    relabel[node_ids] = np.arange(len(node_ids))
+
+    kept = np.asarray(sorted(set(kept_edges)), np.int64)
+    sub_src = relabel[src[kept]]
+    sub_dst = relabel[dst[kept]]
+
+    subgraph = ConnectomeGraph(
+        node_features=graph.node_features[node_ids],
+        edge_index=np.stack([sub_src, sub_dst]).astype(np.int32),
+        edge_weight=graph.edge_weight[kept],
+        label=graph.label,
+        subject_id=f"{graph.subject_id}-sub{len(node_ids)}",
+    )
+    return subgraph, node_ids

@@ -6,12 +6,22 @@ from connectome_gnn_tpu.parallel.data_parallel import (
     shard_batch,
     stack_batches,
 )
+from connectome_gnn_tpu.parallel.edge_partition import (
+    EdgePartitionedGCN,
+    PartitionedGraph,
+    partition_graph,
+    partitioned_gcn_layer,
+)
 from connectome_gnn_tpu.parallel.mesh import create_mesh
 
 __all__ = [
+    "EdgePartitionedGCN",
+    "PartitionedGraph",
     "create_mesh",
     "make_dp_eval_step",
     "make_dp_train_step",
+    "partition_graph",
+    "partitioned_gcn_layer",
     "shard_batch",
     "stack_batches",
 ]

@@ -1,0 +1,95 @@
+"""Edge-partitioned giant-graph mode: equivalence with the unpartitioned path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from connectome_gnn_tpu.data import generate_connectome
+from connectome_gnn_tpu.models.layers import gcn_layer_apply
+from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply
+from connectome_gnn_tpu.parallel import (
+    EdgePartitionedGCN,
+    create_mesh,
+    partition_graph,
+)
+
+
+@pytest.fixture(scope="module")
+def giant_graph():
+    # "giant" at test scale: one 200-node connectome
+    return generate_connectome(num_regions=200, k=10, seed=3)
+
+
+def oracle_forward(model, params, state, graph):
+    """Unpartitioned single-device forward with identical numerics."""
+    # sort edges by receiver to match collate/CSR conventions
+    order = np.argsort(graph.edge_index[1], kind="stable")
+    senders = jnp.asarray(graph.edge_index[0][order])
+    receivers = jnp.asarray(graph.edge_index[1][order])
+    weights = jnp.asarray(graph.edge_weight[order])
+    x = jnp.asarray(graph.node_features)
+    mask = jnp.ones((graph.num_nodes,), bool)
+    for i in range(model.num_layers):
+        x = gcn_layer_apply(params["convs"][i], x, senders, receivers, weights)
+        x, _ = batch_norm_apply(
+            params["norms"][i], state["norms"][i], x, mask, train=False
+        )
+        x = jax.nn.relu(x)
+    return dense_apply(params["head"], x)
+
+
+class TestPartitionGraph:
+    def test_partition_invariants(self, giant_graph):
+        pg = partition_graph(giant_graph, 8)
+        assert pg.num_shards == 8
+        assert pg.total_nodes >= giant_graph.num_nodes
+        # every real edge is preserved exactly once
+        w = np.asarray(pg.edge_weight)
+        assert np.isclose(w.sum(), giant_graph.edge_weight.sum(), rtol=1e-5)
+        # node features land in the right shard rows
+        flat = np.asarray(pg.node_features).reshape(pg.total_nodes, -1)
+        assert np.allclose(flat[: giant_graph.num_nodes], giant_graph.node_features)
+
+    def test_receivers_are_local_and_sorted(self, giant_graph):
+        pg = partition_graph(giant_graph, 4)
+        recv = np.asarray(pg.receivers)
+        wts = np.asarray(pg.edge_weight)
+        for d in range(4):
+            real = wts[d] > 0
+            assert (recv[d][real] >= 0).all()
+            assert (recv[d][real] < pg.nodes_per_shard).all()
+            assert (np.diff(recv[d][real]) >= 0).all()
+
+    def test_node_labels(self, giant_graph):
+        labels = np.arange(giant_graph.num_nodes) % 2
+        pg = partition_graph(giant_graph, 4, node_labels=labels)
+        flat = np.asarray(pg.labels).reshape(-1)
+        np.testing.assert_array_equal(flat[: giant_graph.num_nodes], labels)
+        assert int(np.asarray(pg.label_mask).sum()) == giant_graph.num_nodes
+
+
+class TestEdgePartitionedGCN:
+    def test_matches_unpartitioned_oracle(self, giant_graph, cpu_devices):
+        mesh = create_mesh(axis_names=("edge",))
+        model = EdgePartitionedGCN(
+            in_channels=5, hidden_dim=32, num_classes=2, num_layers=3
+        )
+        params, state = model.init(jax.random.PRNGKey(0))
+        pg = partition_graph(giant_graph, 8)
+
+        logits = model.forward(params, state, pg, mesh)
+        flat = np.asarray(logits).reshape(pg.total_nodes, -1)
+
+        expected = np.asarray(oracle_forward(model, params, state, giant_graph))
+        np.testing.assert_allclose(
+            flat[: giant_graph.num_nodes], expected, rtol=1e-3, atol=1e-4
+        )
+
+    def test_padding_nodes_have_finite_logits(self, giant_graph, cpu_devices):
+        mesh = create_mesh(axis_names=("edge",))
+        model = EdgePartitionedGCN(in_channels=5, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(1))
+        pg = partition_graph(giant_graph, 8)
+        logits = model.forward(params, state, pg, mesh)
+        assert np.isfinite(np.asarray(logits)).all()
