@@ -5,6 +5,8 @@ from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round
 from connectome_gnn_tpu.data.dense import DenseConnectomeBatch, collate_dense
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
+from connectome_gnn_tpu.data.prefetch import PrefetchIterator, PrefetchLoader
+from connectome_gnn_tpu.data.sampling import sample_subgraph
 from connectome_gnn_tpu.data.synthetic import (
     TRAIT_NAMES,
     generate_connectome,
@@ -20,8 +22,11 @@ __all__ = [
     "ConnectomeGraph",
     "ConnectomeDataLoader",
     "DenseConnectomeBatch",
+    "PrefetchIterator",
+    "PrefetchLoader",
     "collate_dense",
     "collate_graphs",
+    "sample_subgraph",
     "generate_connectome",
     "generate_dataset",
     "round_up",

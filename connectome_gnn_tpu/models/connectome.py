@@ -62,12 +62,17 @@ class _ConnectomeModel:
         num_classes: int = 2,
         num_layers: int = 3,
         dropout: float = 0.3,
+        compute_dtype=jnp.float32,
     ):
+        """``compute_dtype=jnp.bfloat16`` enables mixed precision on the
+        dense MXU path (bf16 matmul operands, f32 accumulation and
+        statistics); parameters and the COO path stay f32."""
         self.in_channels = int(in_channels)
         self.hidden_dim = int(hidden_dim)
         self.num_classes = int(num_classes)
         self.num_layers = int(num_layers)
         self.dropout = float(dropout)
+        self.compute_dtype = compute_dtype
 
     # ------------------------------------------------------------------
     # Init
@@ -181,7 +186,9 @@ class _ConnectomeModel:
             else [None] * self.num_layers
         )
         for i in range(self.num_layers):
-            x = type(self)._dense_layer_apply(params["convs"][i], x, batch.adj)
+            x = type(self)._dense_layer_apply(
+                params["convs"][i], x, batch.adj, compute_dtype=self.compute_dtype
+            )
             flat, bn_state = batch_norm_apply(
                 params["norms"][i],
                 state["norms"][i],

@@ -125,7 +125,11 @@ def sage_layer_apply(
 
 
 def gcn_layer_apply_dense(
-    params: dict, x: jnp.ndarray, adj: jnp.ndarray
+    params: dict,
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """GCN convolution over dense receiver-major adjacency ``[B, n, n]``.
 
@@ -133,26 +137,54 @@ def gcn_layer_apply_dense(
     self-loop weight 1.0, ``(deg + 1e-8)^-0.5``), expressed as a batched
     matmul so aggregation runs on the MXU.  The normalization is the same
     for every layer of a forward pass; XLA CSEs the recomputation.
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmul operands in bf16 with
+    f32 MXU accumulation (2× MXU rate); normalization and statistics stay
+    f32.  Output is always f32.
     """
     # Out-degree of sender j = column sum over receivers i, plus self-loop.
-    deg = jnp.sum(adj, axis=1) + 1.0
+    # Degree/normalization in f32 regardless of compute dtype.
+    deg = jnp.sum(adj, axis=1, dtype=jnp.float32) + 1.0
     dinv = jax.lax.rsqrt(deg + EPS)  # [B, n]
     adj_norm = dinv[:, :, None] * adj * dinv[:, None, :]
 
-    xw = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
+    xw = jnp.dot(
+        x.astype(compute_dtype),
+        params["kernel"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
     out = (
-        jnp.matmul(adj_norm, xw, preferred_element_type=jnp.float32)
+        jnp.matmul(
+            adj_norm.astype(compute_dtype),
+            xw.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
         + (dinv * dinv)[:, :, None] * xw
     )
     return out + params["bias"]
 
 
 def sage_layer_apply_dense(
-    params: dict, x: jnp.ndarray, adj: jnp.ndarray
+    params: dict,
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """SAGE convolution over dense adjacency: weighted-mean via matmul."""
-    msg_sum = jnp.matmul(adj, x, preferred_element_type=jnp.float32)
-    w_sum = jnp.sum(adj, axis=-1, keepdims=True)  # in-weight per receiver
+    msg_sum = jnp.matmul(
+        adj.astype(compute_dtype),
+        x.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    w_sum = jnp.sum(adj, axis=-1, keepdims=True, dtype=jnp.float32)
     agg = msg_sum / (w_sum + EPS)
     combined = jnp.concatenate([x, agg], axis=-1)
-    return jax.nn.relu(dense_apply(params, combined))
+    y = jnp.dot(
+        combined.astype(compute_dtype),
+        params["kernel"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        y = y + params["bias"]
+    return jax.nn.relu(y)

@@ -90,3 +90,20 @@ class TestDenseEquivalence:
         h2 = t2.fit(dense_loader, dense_loader, num_epochs=3, patience=9, verbose=False)
         np.testing.assert_allclose(h1["train_loss"], h2["train_loss"], rtol=2e-3)
         np.testing.assert_allclose(h1["val_acc"], h2["val_acc"])
+
+
+class TestMixedPrecision:
+    def test_bf16_close_to_f32(self, graphs):
+        import jax.numpy as jnp
+
+        dense = collate_dense(graphs)
+        f32 = GCNConnectome(in_channels=5, hidden_dim=32)
+        params, state = f32.init(jax.random.PRNGKey(0))
+        bf16 = GCNConnectome(in_channels=5, hidden_dim=32, compute_dtype=jnp.bfloat16)
+        a, _ = f32.apply(params, state, dense)
+        b, _ = bf16.apply(params, state, dense)
+        assert np.asarray(b).dtype == np.float32  # f32 accumulation/output
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.05, atol=0.05)
+        # class decisions should essentially agree
+        agree = (np.asarray(a).argmax(1) == np.asarray(b).argmax(1)).mean()
+        assert agree >= 0.9

@@ -174,3 +174,34 @@ class TestLoader:
         loader = ConnectomeDataLoader(graphs, batch_size=4, drop_last=True)
         assert len(loader) == 2
         assert len(list(loader)) == 2
+
+
+class TestPrefetch:
+    def test_prefetch_yields_same_batches(self):
+        from connectome_gnn_tpu.data.prefetch import PrefetchLoader
+
+        graphs = [make_simple_graph(seed=s, label=s % 2) for s in range(12)]
+        loader = ConnectomeDataLoader(graphs, batch_size=4, shuffle=False)
+        plain = [np.asarray(b.labels).tolist() for b in loader]
+        wrapped = PrefetchLoader(
+            ConnectomeDataLoader(graphs, batch_size=4, shuffle=False), depth=2
+        )
+        assert len(wrapped) == 3
+        prefetched = [np.asarray(b.labels).tolist() for b in wrapped]
+        assert plain == prefetched
+        # second epoch works (fresh producer per iter)
+        assert [np.asarray(b.labels).tolist() for b in wrapped] == plain
+
+    def test_prefetch_propagates_errors(self):
+        from connectome_gnn_tpu.data.prefetch import PrefetchIterator
+
+        def bad():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = PrefetchIterator(bad(), depth=1)
+        assert next(it) == 1
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="boom"):
+            next(it)
