@@ -8,8 +8,15 @@ to the reference's measured CPU number (BASELINE.md: 8.05 ms/batch ⇒
 ~3.96 M edge-messages/s, 3 layers × ~10.6k edges per batch).
 
 Uses the fused Pallas inference kernel (whole model in one dispatch over
-the dense MXU layout) — the fastest verified-equivalent path; equivalence
-vs the XLA oracle is asserted before timing.
+the dense MXU layout); equivalence vs the XLA oracle is asserted before
+timing.
+
+Timing methodology (this TPU sits behind a network tunnel, and
+``block_until_ready`` is not a reliable sync on this backend):
+iterations are chained in an on-device ``fori_loop`` (index-perturbed
+input so XLA cannot hoist the body), synchronization is a scalar value
+fetch, and fixed overheads cancel by differencing a full-length against a
+quarter-length loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,9 +32,7 @@ import numpy as np
 
 BASELINE_EDGE_MSGS_PER_S = 3.96e6  # reference torch CPU, BASELINE.md
 
-WARMUP = 10
-ITERS = 2000  # forwards per on-device loop
-CALLS = 5  # pipelined loop dispatches in the timed region
+ITERS = 20000  # loop long enough that per-iter time dominates fetch overhead
 
 
 def main() -> None:
@@ -50,28 +55,32 @@ def main() -> None:
     fused = np.asarray(fused_gcn_forward(params, state, *args, num_layers=3))
     np.testing.assert_allclose(fused, np.asarray(oracle), rtol=1e-4, atol=1e-5)
 
-    # The TPU here sits behind a network tunnel, so per-call host timing is
-    # RTT-noise-dominated.  Measure device-side steady state instead: ITERS
-    # forwards chained in one on-device fori_loop (input perturbed by the
-    # loop index so XLA cannot hoist the body), one dispatch total.
-    def loop_forward(p, s, x, a, m):
-        def body(i, acc):
-            xi = x + i.astype(jnp.float32) * jnp.float32(1e-30)
-            logits = fused_gcn_forward(p, s, xi, a, m, num_layers=3)
-            return acc + logits[0, 0]
+    def make(iters):
+        def looped(p, s, x, adj, mask):
+            def body(i, acc):
+                xi = x + i.astype(jnp.float32) * jnp.float32(1e-30)
+                logits = fused_gcn_forward(p, s, xi, adj, mask, num_layers=3)
+                return acc + logits[0, 0]
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    compiled = jax.jit(loop_forward).lower(params, state, *args).compile()
-    jax.block_until_ready(compiled(params, state, *args))  # warmup
+        return jax.jit(looped).lower(params, state, *args).compile()
 
-    t0 = time.perf_counter()
-    outs = [compiled(params, state, *args) for _ in range(CALLS)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    k_small = ITERS // 4
+    c_full, c_small = make(ITERS), make(k_small)
+    float(c_full(params, state, *args))  # warmup, true sync via fetch
+    float(c_small(params, state, *args))
 
-    edge_messages = model.num_layers * real_edges * ITERS * CALLS
-    rate = edge_messages / dt
+    def timed(c):
+        t0 = time.perf_counter()
+        float(c(params, state, *args))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(c_small) for _ in range(2))
+    t_full = min(timed(c_full) for _ in range(2))
+    dt = max(t_full - t_small, 1e-12) / (ITERS - k_small)
+
+    rate = model.num_layers * real_edges / dt
     print(
         json.dumps(
             {

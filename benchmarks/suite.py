@@ -33,22 +33,82 @@ import numpy as np
 import optax
 
 
+def _fetch(value) -> float:
+    """True device synchronization: pull a scalar to host.
+
+    ``jax.block_until_ready`` is NOT a reliable sync on the axon remote
+    backend (observed returning before execution finishes); fetching a
+    value is.
+    """
+    return float(jnp.sum(value))
+
+
 def device_loop_time(step_fn, args, iters: int) -> float:
-    """Seconds per iteration of ``step_fn`` in an on-device fori_loop."""
+    """Seconds per iteration of ``step_fn`` on device, dispatch-free.
 
-    def looped(*args):
-        def body(i, carry):
-            eps = i.astype(jnp.float32) * jnp.float32(1e-30)
-            out = step_fn(*args, eps)
-            return carry + out
+    ``step_fn(*args, eps, i)`` must return a scalar; iterations are chained
+    in one on-device ``fori_loop`` with an input perturbation derived from
+    the loop index so XLA cannot hoist the body.  To cancel fixed overheads
+    (dispatch RTT, loop setup) the timing is the *difference* between a
+    full-length and a quarter-length loop, each synced by a scalar fetch.
+    """
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    def make(k):
+        def looped(*args):
+            def body(i, carry):
+                eps = i.astype(jnp.float32) * jnp.float32(1e-30)
+                return carry + step_fn(*args, eps, i)
 
-    compiled = jax.jit(looped).lower(*args).compile()
-    jax.block_until_ready(compiled(*args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(compiled(*args))
-    return (time.perf_counter() - t0) / iters
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        return jax.jit(looped).lower(*args).compile()
+
+    k_small = max(iters // 4, 1)
+    c_full, c_small = make(iters), make(k_small)
+    _fetch(c_full(*args))  # warmup (true sync)
+    _fetch(c_small(*args))
+
+    def timed(c):
+        t0 = time.perf_counter()
+        _fetch(c(*args))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(c_small) for _ in range(2))
+    t_full = min(timed(c_full) for _ in range(2))
+    return max(t_full - t_small, 1e-12) / (iters - k_small)
+
+
+def chained_loop_time(fn, x0, iters: int, *consts) -> float:
+    """Like :func:`device_loop_time` but for LINEAR ``fn`` (e.g. SpMM):
+    an additive perturbation would factor out of a linear op and let XLA
+    hoist everything (observed), so each iteration feeds the *normalized*
+    output back in — a nonlinear true sequential dependence.  Operands go
+    via ``consts`` (closure-captured arrays would be inlined as program
+    constants and blow up the compile payload)."""
+
+    def make(k):
+        def looped(x, *consts):
+            def body(_, v):
+                out = fn(v, *consts)
+                return out * jax.lax.rsqrt(jnp.mean(out * out) + 1e-12)
+
+            return jnp.mean(jax.lax.fori_loop(0, k, body, x))
+
+        return jax.jit(looped).lower(x0, *consts).compile()
+
+    k_small = max(iters // 4, 1)
+    c_full, c_small = make(iters), make(k_small)
+    _fetch(c_full(x0, *consts))
+    _fetch(c_small(x0, *consts))
+
+    def timed(c):
+        t0 = time.perf_counter()
+        _fetch(c(x0, *consts))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(c_small) for _ in range(2))
+    t_full = min(timed(c_full) for _ in range(2))
+    return max(t_full - t_small, 1e-12) / (iters - k_small)
 
 
 def bench_small_graph_forward(model_cls=None, fused: bool = True, iters=2000):
@@ -66,7 +126,7 @@ def bench_small_graph_forward(model_cls=None, fused: bool = True, iters=2000):
     params, state = model.init(jax.random.PRNGKey(0))
 
     if fused:
-        def step(x, adj, mask, eps):
+        def step(x, adj, mask, eps, i):
             logits = fused_gcn_forward(
                 params, state, x + eps, adj, mask, num_layers=3
             )
@@ -74,7 +134,7 @@ def bench_small_graph_forward(model_cls=None, fused: bool = True, iters=2000):
 
         args = (batch.node_features, batch.adj, batch.node_mask.astype(jnp.float32))
     else:
-        def step(x, adj, mask, eps):
+        def step(x, adj, mask, eps, i):
             import dataclasses
 
             b = dataclasses.replace(batch, node_features=x + eps)
@@ -105,7 +165,7 @@ def bench_large_graphs(iters=500):
     model = GCNConnectome(in_channels=5, hidden_dim=256, num_classes=2, num_layers=3)
     params, state = model.init(jax.random.PRNGKey(0))
 
-    def step(x, eps):
+    def step(x, eps, i):
         b = dataclasses.replace(batch, node_features=x + eps)
         logits, _ = model.apply(params, state, b, train=False)
         return logits[0, 0]
@@ -131,7 +191,7 @@ def bench_packed_512(iters=200):
     model = GCNConnectome(in_channels=5, hidden_dim=64, num_classes=2, num_layers=3)
     params, state = model.init(jax.random.PRNGKey(0))
 
-    def step(x, adj, mask, eps):
+    def step(x, adj, mask, eps, i):
         logits = fused_gcn_forward(params, state, x + eps, adj, mask, num_layers=3)
         return logits[0, 0]
 
@@ -144,7 +204,7 @@ def bench_packed_512(iters=200):
     }
 
 
-def bench_spmm_giant(num_nodes=262_144, avg_degree=16, feat=64, iters=100):
+def bench_spmm_giant(num_nodes=262_144, avg_degree=16, feat=64, iters=8):
     """Config 5 (single-chip core op): CSR segment-sum SpMM edges/s."""
     rng = np.random.default_rng(0)
     num_edges = num_nodes * avg_degree
@@ -155,17 +215,56 @@ def bench_spmm_giant(num_nodes=262_144, avg_degree=16, feat=64, iters=100):
 
     from connectome_gnn_tpu.ops import coo_spmm
 
-    def step(x, s, r, w, eps):
-        out = coo_spmm(w, s, r, x + eps, num_nodes, indices_are_sorted=True)
-        return out[0, 0]
+    # SpMM is linear, so an additive input perturbation factors out and
+    # XLA hoists the whole computation; chain iterations instead (the
+    # output feeds the next input) to force `iters` sequential SpMMs.
+    def spmm(x, w, s, r):
+        return coo_spmm(w, s, r, x, num_nodes, indices_are_sorted=True)
 
-    args = (jnp.asarray(x), jnp.asarray(senders), jnp.asarray(receivers),
-            jnp.asarray(weights))
-    dt = device_loop_time(step, args, iters)
+    dt = chained_loop_time(
+        spmm, jnp.asarray(x), iters,
+        jnp.asarray(weights), jnp.asarray(senders), jnp.asarray(receivers),
+    )
     return {
         "us_per_spmm": dt * 1e6,
         "edges_per_s": num_edges / dt,
         "num_nodes": num_nodes,
+        "num_edges": num_edges,
+    }
+
+
+def bench_spmm_banded(num_nodes=65_536, avg_degree=16, band_nodes=512,
+                      feat=64, block=128, iters=30):
+    """Config 5 (locality path): banded block-dense SpMM edges/s.
+
+    Voxel-level connectomes are spatially local; after spatial/RCM
+    ordering, edges live in a ±``band_nodes`` index band, so SpMM becomes
+    batched dense matmuls on the MXU (see ops/banded.py).
+    """
+    rng = np.random.default_rng(0)
+    num_edges = num_nodes * avg_degree
+    receivers = np.repeat(np.arange(num_nodes), avg_degree)
+    offsets = rng.integers(-band_nodes, band_nodes + 1, num_edges)
+    senders = np.clip(receivers + offsets, 0, num_nodes - 1)
+    weights = rng.random(num_edges).astype(np.float32)
+    x = rng.standard_normal((num_nodes, feat)).astype(np.float32)
+
+    from connectome_gnn_tpu.ops.banded import banded_spmm, to_banded
+
+    a = to_banded(senders.astype(np.int32), receivers.astype(np.int32),
+                  weights, num_nodes, block=block)
+
+    from connectome_gnn_tpu.ops.banded import banded_spmm as _spmm
+
+    # chained-iteration timing — see config 5 note on linear-op hoisting
+    dt = chained_loop_time(
+        lambda v, band: _spmm(a._replace(band=band), v),
+        jnp.asarray(x), iters, a.band,
+    )
+    return {
+        "us_per_spmm": dt * 1e6,
+        "edges_per_s": num_edges / dt,
+        "band_blocks": 2 * a.bandwidth + 1,
         "num_edges": num_edges,
     }
 
@@ -201,21 +300,37 @@ def bench_train_step(iters=100):
         return new_params, new_state, new_opt, loss
 
     # chain steps on-device: carry params/opt_state through the loop
-    def looped(params, state, opt_state, x):
+    def looped(params, state, opt_state, x, k):
         def body(i, carry):
             p, s, o = carry
             eps = i.astype(jnp.float32) * jnp.float32(1e-30)
             p, s, o, _ = step_fn(p, s, o, x, eps)
             return (p, s, o)
 
-        return jax.lax.fori_loop(0, iters, body, (params, state, opt_state))
+        return jax.lax.fori_loop(0, k, body, (params, state, opt_state))
 
     args = (params, state, opt_state, batch.node_features)
-    compiled = jax.jit(looped).lower(*args).compile()
-    jax.block_until_ready(compiled(*args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(compiled(*args))
-    dt = (time.perf_counter() - t0) / iters
+
+    def make(k):
+        def outer(*args):
+            p, s, o = looped(*args, k)
+            return jnp.sum(p["head"]["fc2"]["bias"])
+
+        return jax.jit(outer).lower(*args).compile()
+
+    k_small = max(iters // 4, 1)
+    c_full, c_small = make(iters), make(k_small)
+    _fetch(c_full(*args))
+    _fetch(c_small(*args))
+
+    def timed(c):
+        t0 = time.perf_counter()
+        _fetch(c(*args))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(c_small) for _ in range(2))
+    t_full = min(timed(c_full) for _ in range(2))
+    dt = max(t_full - t_small, 1e-12) / (iters - k_small)
     return {"us_per_step": dt * 1e6, "graphs_per_s": 512 / dt}
 
 
@@ -230,6 +345,8 @@ BENCHES = {
           bench_packed_512),
     "5": ("CSR segment-sum SpMM, 262k nodes / 4.2M edges, F=64",
           bench_spmm_giant),
+    "5b": ("banded block-dense SpMM, 65k nodes / 1.0M edges (±512 band), F=64",
+           bench_spmm_banded),
     "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
           bench_train_step),
 }
@@ -243,7 +360,7 @@ def _sage():
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5,T")
+    parser.add_argument("--configs", default="1,2,3,4,5,5b,T")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
