@@ -5,6 +5,7 @@ from connectome_gnn_tpu.models.connectome import (
     GCNConnectome,
     GraphSAGEConnectome,
 )
+from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
 from connectome_gnn_tpu.models.layers import (
     gcn_layer_apply,
     gcn_layer_init,
@@ -13,6 +14,7 @@ from connectome_gnn_tpu.models.layers import (
 )
 
 __all__ = [
+    "BandedNodeGCN",
     "GCNConnectome",
     "GraphSAGEConnectome",
     "gcn_layer_apply",

@@ -1,0 +1,115 @@
+"""Node-level GCN over a banded giant graph (single device).
+
+The node-classification model for the voxel-level regime on one chip: a
+spatially-ordered (or RCM-reordered) giant connectome in banded block-dense
+form, L symmetric-normalized GCN convolutions running as shifted-window
+batched matmuls at the HBM roofline (:mod:`connectome_gnn_tpu.ops.banded`),
+masked BatchNorm + ReLU + dropout per layer, and a per-node linear head.
+
+Multi-device giant graphs use
+:class:`connectome_gnn_tpu.parallel.EdgePartitionedGCN`; this class is its
+single-chip, locality-exploiting sibling.  Numerics match the COO GCN layer
+(same sender-degree normalization, self-loop weight 1.0, reference
+epsilons — verified against the COO oracle in ``tests/test_banded.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from connectome_gnn_tpu.models.layers import gcn_layer_init
+from connectome_gnn_tpu.nn.layers import (
+    batch_norm_apply,
+    batch_norm_init,
+    dense_apply,
+    dense_init,
+    dropout,
+)
+from connectome_gnn_tpu.ops.banded import (
+    BandedMatrix,
+    banded_spmm,
+    gcn_normalize_banded,
+)
+
+
+class BandedNodeGCN:
+    """L-layer node-classification GCN over a :class:`BandedMatrix`."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        hidden_dim: int = 64,
+        num_classes: int = 2,
+        num_layers: int = 3,
+        dropout: float = 0.0,
+    ):
+        self.in_channels = int(in_channels)
+        self.hidden_dim = int(hidden_dim)
+        self.num_classes = int(num_classes)
+        self.num_layers = int(num_layers)
+        self.dropout = float(dropout)
+
+    def init(self, key: jax.Array) -> tuple[dict, dict]:
+        dims = [self.in_channels] + [self.hidden_dim] * self.num_layers
+        keys = jax.random.split(key, self.num_layers + 1)
+        convs = [
+            gcn_layer_init(keys[i], dims[i], dims[i + 1])
+            for i in range(self.num_layers)
+        ]
+        norm_params, norm_states = zip(
+            *(batch_norm_init(self.hidden_dim) for _ in range(self.num_layers))
+        )
+        head = dense_init(keys[-1], self.hidden_dim, self.num_classes)
+        return (
+            {"convs": convs, "norms": list(norm_params), "head": head},
+            {"norms": list(norm_states)},
+        )
+
+    def apply(
+        self,
+        params: dict,
+        state: dict,
+        adjacency: BandedMatrix,
+        x: jnp.ndarray,
+        *,
+        node_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> tuple[jnp.ndarray, dict]:
+        """Per-node logits ``[num_nodes, C]`` plus updated BN state."""
+        n = adjacency.num_nodes
+        if node_mask is None:
+            node_mask = jnp.ones((n,), bool)
+
+        # Normalization is layer-invariant; XLA CSEs the recomputation.
+        band_norm, dinv = gcn_normalize_banded(adjacency)
+        self_norm = (dinv * dinv)[:n, None]
+
+        h = x[:n]
+        new_norms = []
+        drop_keys = (
+            jax.random.split(rng, self.num_layers)
+            if (train and rng is not None)
+            else [None] * self.num_layers
+        )
+        for i in range(self.num_layers):
+            hw = jnp.dot(
+                h, params["convs"][i]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
+            h = (
+                banded_spmm(band_norm, hw)
+                + self_norm * hw
+                + params["convs"][i]["bias"]
+            )
+            h, bn_state = batch_norm_apply(
+                params["norms"][i], state["norms"][i], h, node_mask, train=train
+            )
+            new_norms.append(bn_state)
+            h = jax.nn.relu(h)
+            h = dropout(drop_keys[i], h, self.dropout, train=train)
+        logits = dense_apply(params["head"], h)
+        return logits, {"norms": new_norms}

@@ -8,6 +8,12 @@ Two interchangeable implementations of the aggregation kernels exist:
   CSR layout produced by the batch collator.
 """
 
+from connectome_gnn_tpu.ops.banded import (
+    BandedMatrix,
+    banded_spmm,
+    gcn_normalize_banded,
+    to_banded,
+)
 from connectome_gnn_tpu.ops.gcn_norm import GCNNorm, gcn_normalize
 from connectome_gnn_tpu.ops.segment import (
     coo_spmm,
@@ -17,10 +23,14 @@ from connectome_gnn_tpu.ops.segment import (
 )
 
 __all__ = [
+    "BandedMatrix",
     "GCNNorm",
+    "banded_spmm",
     "coo_spmm",
     "gcn_normalize",
+    "gcn_normalize_banded",
     "graph_mean_pool",
     "segment_mean",
     "segment_sum",
+    "to_banded",
 ]

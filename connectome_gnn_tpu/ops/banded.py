@@ -127,3 +127,48 @@ def banded_spmm(a: BandedMatrix, x: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32,
     )
     return out.reshape(padded, F)[: a.num_nodes]
+
+
+def banded_sender_degree(a: BandedMatrix) -> jnp.ndarray:
+    """Weighted sender (column) degrees of the banded matrix, ``[padded]``.
+
+    Column ``cb·block + j`` receives contributions from every row block
+    ``rb`` with ``cb = rb + d - W`` — a coarse block-level scatter (NB·D
+    segments), nothing per-edge.
+    """
+    block, nb, W = a.block, a.num_blocks, a.bandwidth
+    col_sums = jnp.sum(a.band, axis=2)  # [NB, 2W+1, block] over receivers i
+    rb = jnp.arange(nb)[:, None]
+    d = jnp.arange(2 * W + 1)[None, :]
+    cb = (rb + d).reshape(-1)  # destination block in the padded-by-W space
+    deg_blocks = jax.ops.segment_sum(
+        col_sums.reshape(-1, block), cb, num_segments=nb + 2 * W
+    )
+    # drop the W halo blocks on each side
+    return deg_blocks[W : W + nb].reshape(nb * block)
+
+
+def gcn_normalize_banded(
+    a: BandedMatrix, *, self_loop_weight: float = 1.0, eps: float = 1e-8
+) -> tuple[BandedMatrix, jnp.ndarray]:
+    """Symmetric GCN normalization of a banded adjacency.
+
+    Returns the normalized band and ``dinv [padded]``; same math as
+    :func:`connectome_gnn_tpu.ops.gcn_norm.gcn_normalize` (sender degrees +
+    self-loop weight, ``(deg + 1e-8)^-0.5``).  Padded node slots get
+    ``deg = self_loop_weight`` and stay inert (their features are zero).
+    """
+    block, nb, W = a.block, a.num_blocks, a.bandwidth
+    deg = banded_sender_degree(a) + self_loop_weight
+    dinv = jax.lax.rsqrt(deg + eps)  # [padded]
+
+    dinv_rows = dinv.reshape(nb, 1, block, 1)  # receiver side
+    dinv_pad = jnp.concatenate(
+        [jnp.full((W * block,), 0.0, dinv.dtype), dinv,
+         jnp.full((W * block,), 0.0, dinv.dtype)]
+    ).reshape(nb + 2 * W, block)
+    idx = jnp.arange(nb)[:, None] + jnp.arange(2 * W + 1)[None, :]
+    dinv_cols = jnp.take(dinv_pad, idx, axis=0)[:, :, None, :]  # sender side
+
+    band_norm = dinv_rows * a.band * dinv_cols
+    return BandedMatrix(band_norm, a.num_nodes, W), dinv

@@ -97,3 +97,58 @@ class TestRCM:
         inverse[perm] = np.arange(n)
         rcm_bw = bandwidth(inverse[edge_index])
         assert rcm_bw < shuffled_bw / 4
+
+
+class TestBandedNodeGCN:
+    def test_matches_coo_oracle(self):
+        """Banded node GCN ≡ the COO GCN layer stack on the same graph."""
+        import jax
+        from connectome_gnn_tpu.models.layers import gcn_layer_apply
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+        from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply
+
+        g = generate_connectome(num_regions=120, k=8, seed=7)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=32, num_layers=3)
+        params, state = model.init(__import__("jax").random.PRNGKey(0))
+
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        x = jnp.asarray(g.node_features)
+        logits, _ = model.apply(params, state, a, x)
+
+        # COO oracle
+        order = np.argsort(g.edge_index[1], kind="stable")
+        senders = jnp.asarray(g.edge_index[0][order])
+        receivers = jnp.asarray(g.edge_index[1][order])
+        weights = jnp.asarray(g.edge_weight[order])
+        h = x
+        mask = jnp.ones((g.num_nodes,), bool)
+        for i in range(3):
+            h = gcn_layer_apply(params["convs"][i], h, senders, receivers, weights)
+            h, _ = batch_norm_apply(
+                params["norms"][i], state["norms"][i], h, mask, train=False
+            )
+            h = jax.nn.relu(h)
+        expected = dense_apply(params["head"], h)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(expected), rtol=1e-3, atol=1e-4
+        )
+
+    def test_train_mode_updates_state(self):
+        import jax
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+
+        g = generate_connectome(num_regions=60, seed=8)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=16, num_layers=2,
+                              dropout=0.1)
+        params, state = model.init(jax.random.PRNGKey(0))
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=16)
+        logits, new_state = model.apply(
+            params, state, a, jnp.asarray(g.node_features),
+            train=True, rng=jax.random.PRNGKey(1),
+        )
+        assert logits.shape == (60, 2)
+        before = np.asarray(state["norms"][0]["mean"])
+        after = np.asarray(new_state["norms"][0]["mean"])
+        assert not np.allclose(before, after)
