@@ -1,10 +1,11 @@
 """Brain parcellation atlas.
 
-84-region atlas used by the synthetic connectome generator: an abbreviated
+83-region atlas used by the synthetic connectome generator: an abbreviated
 Desikan-Killiany cortical parcellation plus subcortical structures and summary
 white-matter tracts.  Mirrors the region inventory of the reference suite
-(`connectome_gnn/synthetic.py:38-90`) so datasets are region-for-region
-compatible.
+exactly (`connectome_gnn/synthetic.py:38-90` — note the reference labels its
+list "84 ROIs" but it actually contains 83 names; we match the actual list,
+so datasets are region-for-region compatible).
 """
 
 from __future__ import annotations
@@ -83,4 +84,4 @@ def _expand() -> list[str]:
 
 
 REGION_NAMES: list[str] = _expand()
-NUM_REGIONS: int = len(REGION_NAMES)  # 84
+NUM_REGIONS: int = len(REGION_NAMES)  # 83 (the reference's "84 ROIs" comment miscounts)

@@ -10,13 +10,14 @@ This module is the TPU-native redesign of that contract:
   friendly multiples) with explicit masks.  A loader with fixed budgets
   yields identically-shaped batches forever → exactly one XLA compilation.
 * Edges are **sorted by receiver** (CSR order).  Segment sums over sorted
-  ids lower to efficient TPU code, accumulate deterministically, and the
-  accompanying ``row_ptr`` (CSR indptr over receivers) feeds the Pallas
-  SpMM kernel.
-* Padding is inert by construction: padded edges have weight 0 and point at
-  node slot 0; padded nodes have zero features and graph id ``num_graphs``
-  (one past the last real segment, so segment ops drop them); padded graphs
-  are masked out of loss/metrics via ``label_mask``.
+  ids lower to efficient TPU code and accumulate deterministically; the
+  accompanying ``row_ptr`` (CSR indptr over receivers) is carried for
+  CSR-consuming kernels.
+* Padding is inert by construction: padded edges have weight 0 and point
+  one-past-the-end (dropped by segment ops, clamped by gathers); padded
+  nodes have zero features and graph id ``num_graphs`` (one past the last
+  real segment, so segment ops drop them); padded graphs are masked out of
+  loss/metrics via ``label_mask``.
 
 The whole container is a pytree, so it flows through ``jit`` / ``grad`` /
 ``shard_map``; ``num_graphs`` is static metadata (part of the jit key).
@@ -53,7 +54,9 @@ class ConnectomeBatch:
         Packed node features; zero rows for padding.
     senders / receivers : int32 [Q]
         COO edge endpoints, offset per graph, sorted by receiver (CSR
-        order).  Padded edges point at slot 0 with weight 0.
+        order).  Padded edges point one-past-the-end (id ``P``) with
+        weight 0 — dropped by segment ops, clamped by gathers, and
+        keeping the receiver order globally non-decreasing.
     edge_weight : float32 [Q]
     node_graph_ids : int32 [P]
         Graph index per node; padding rows hold ``num_graphs`` so that
@@ -68,7 +71,9 @@ class ConnectomeBatch:
         Cumulative real-node counts per graph (reference graph.py:158,166).
     row_ptr : int32 [P + 1]
         CSR indptr over receivers: edges ``row_ptr[i]:row_ptr[i+1]`` have
-        receiver ``i``.  Consumed by the Pallas SpMM path.
+        receiver ``i``.  Not consumed by the current compute paths (the
+        dense/banded layouts won on TPU); carried for CSR-consuming
+        kernels and external tooling.
     num_graphs : int (static)
         Number of graph slots ``B``.
     """
@@ -158,8 +163,12 @@ def collate_graphs(
 
     F = graphs[0].num_features if graphs else int(num_features)
     node_features = np.zeros((P, F), dtype=np.float32)
-    senders = np.zeros(Q, dtype=np.int32)
-    receivers = np.zeros(Q, dtype=np.int32)
+    # Padded edges point one-past-the-end: segment ops drop id P, gathers
+    # clamp it (and the weight is 0), and — crucially — the receiver array
+    # stays genuinely non-decreasing after the CSR sort, so the
+    # indices_are_sorted=True promise downstream is honest.
+    senders = np.full(Q, P, dtype=np.int32)
+    receivers = np.full(Q, P, dtype=np.int32)
     edge_weight = np.zeros(Q, dtype=np.float32)
     # Padding nodes carry segment id B → dropped by num_segments=B ops.
     node_graph_ids = np.full(P, B, dtype=np.int32)
@@ -189,10 +198,10 @@ def collate_graphs(
     # Padded graph slots keep the final cumulative count.
     ptr[len(graphs) + 1 :] = node_off
 
-    # CSR sort: real edges ordered by receiver; padded edges (receiver 0,
-    # weight 0) sorted to the *end* so the real CSR structure is contiguous.
-    sort_key = np.where(edge_mask, receivers, np.int64(P))
-    order = np.argsort(sort_key, kind="stable")
+    # CSR sort: real edges ordered by receiver; padded edges (receiver P,
+    # weight 0) sort to the *end*, keeping the real CSR structure contiguous
+    # and the full receivers array non-decreasing.
+    order = np.argsort(receivers, kind="stable")
     senders = senders[order]
     receivers = receivers[order]
     edge_weight = edge_weight[order]

@@ -25,7 +25,13 @@ from typing import Iterable, Iterator
 
 
 class PrefetchIterator:
-    """Iterate ``iterable`` with ``depth`` batches produced ahead."""
+    """Iterate ``iterable`` with ``depth`` batches produced ahead.
+
+    Safe against partial consumption: abandoning the iterator (or calling
+    :meth:`close`, also done by ``__del__``) unblocks and stops the
+    producer thread so queued batches don't stay pinned for the process
+    lifetime.
+    """
 
     _SENTINEL = object()
 
@@ -34,25 +40,59 @@ class PrefetchIterator:
             raise ValueError("depth must be >= 1")
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._error: list[BaseException] = []
+        self._closed = threading.Event()
+        self._done = False
 
         def producer() -> None:
             try:
                 for item in iterable:
-                    self._queue.put(item)
+                    # bounded put that gives up when the consumer is gone
+                    while not self._closed.is_set():
+                        try:
+                            self._queue.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._closed.is_set():
+                        return
             except BaseException as exc:  # surface in consumer
                 self._error.append(exc)
             finally:
-                self._queue.put(self._SENTINEL)
+                while not self._closed.is_set():
+                    try:
+                        self._queue.put(self._SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=producer, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the producer and release queued batches."""
+        self._closed.set()
+        while True:
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=1.0)
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self) -> Iterator:
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration
         item = self._queue.get()
         if item is self._SENTINEL:
+            self._done = True
             self._thread.join()
             if self._error:
                 raise self._error[0]

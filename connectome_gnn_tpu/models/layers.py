@@ -58,13 +58,7 @@ def gcn_layer_apply(
     folded into an elementwise rescale (see :mod:`ops.gcn_norm`).
     """
     num_nodes = x.shape[0]
-    norm = gcn_normalize(
-        senders,
-        receivers,
-        edge_weight,
-        num_nodes,
-        indices_are_sorted=indices_are_sorted,
-    )
+    norm = gcn_normalize(senders, receivers, edge_weight, num_nodes)
     xw = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
     out = coo_spmm(
         norm.edge_norm,

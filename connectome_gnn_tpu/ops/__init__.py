@@ -1,11 +1,13 @@
-"""Compute ops: segment reductions, SpMM, GCN normalization.
+"""Compute ops: segment reductions, SpMM, GCN normalization, fused kernels.
 
-Two interchangeable implementations of the aggregation kernels exist:
+Interchangeable implementations of the aggregation kernels:
 
-* the XLA path (:mod:`segment`) — ``jax.ops.segment_sum`` based, the
-  correctness oracle, used by default;
-* the Pallas path (:mod:`spmm_pallas`) — hand-written TPU kernels over the
-  CSR layout produced by the batch collator.
+* the XLA COO path (:mod:`segment`) — ``jax.ops.segment_sum`` based, the
+  correctness oracle and general ragged-graph path;
+* the banded block-dense path (:mod:`banded`) — MXU batched matmuls for
+  spatially-local giant graphs;
+* the fused Pallas path (:mod:`fused_pallas`) — whole-model GCN inference
+  in a single kernel over the dense batch layout.
 """
 
 from connectome_gnn_tpu.ops.banded import (

@@ -134,9 +134,18 @@ def fold_bn_affine(params: dict, state: dict, num_layers: int, eps: float = 1e-5
 
 
 def _choose_graphs_per_block(B: int, n: int, F: int, H: int) -> int:
-    """Largest divisor of ``B`` whose double-buffered slab fits the budget."""
-    bytes_per_graph = 4 * (n * n + n * max(F, 8) + n)
-    max_g = max(int(_VMEM_BLOCK_BUDGET // (2 * bytes_per_graph)), 1)
+    """Largest divisor of ``B`` whose working set fits the VMEM budget.
+
+    Counts the double-buffered input slabs (adj, x, mask) plus the
+    in-kernel intermediates: the normalized-adjacency copy (``n×n``) and
+    the activation/aggregate buffers at hidden width (~3·``n×H``).
+    """
+    bytes_per_graph = 4 * (
+        2 * (n * n + n * max(F, 8) + n)  # double-buffered input slabs
+        + n * n                          # adj_n
+        + 3 * n * max(H, F)              # h / hw / agg
+    )
+    max_g = max(int(_VMEM_BLOCK_BUDGET // bytes_per_graph), 1)
     g = min(B, max_g)
     while B % g:
         g -= 1

@@ -56,7 +56,6 @@ def gcn_normalize(
     num_nodes: int,
     *,
     self_loop_weight: float = 1.0,
-    indices_are_sorted: bool = True,
     eps: float = EPS,
 ) -> GCNNorm:
     """Compute self-loop-augmented symmetric normalization factors.
@@ -65,6 +64,8 @@ def gcn_normalize(
     the augmented edge list (models.py:103-104), ``(deg + 1e-8)^-0.5``
     (models.py:105), per-edge ``d^-1/2 · w · d^-1/2`` (models.py:108).
     """
+    # Degrees reduce over SENDERS, which are unsorted even in CSR batches
+    # (only receivers are sorted) — hence no indices_are_sorted fast path.
     deg = (
         jax.ops.segment_sum(
             edge_weight,

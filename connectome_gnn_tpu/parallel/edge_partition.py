@@ -216,6 +216,7 @@ class EdgePartitionedGCN:
         self.num_classes = int(num_classes)
         self.num_layers = int(num_layers)
         self.dropout = float(dropout)
+        self._fwd_cache: dict = {}
 
     def init(self, key: jax.Array) -> tuple[dict, dict]:
         dims = [self.in_channels] + [self.hidden_dim] * self.num_layers
@@ -250,11 +251,12 @@ class EdgePartitionedGCN:
         """
         x = pgraph_shard.node_features
         new_norms = []
-        drop_keys = (
-            jax.random.split(rng, self.num_layers)
-            if (train and rng is not None)
-            else [None] * self.num_layers
-        )
+        if train and rng is not None:
+            # decorrelate dropout masks across shards
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            drop_keys = jax.random.split(rng, self.num_layers)
+        else:
+            drop_keys = [None] * self.num_layers
         for i in range(self.num_layers):
             x = partitioned_gcn_layer(
                 params["convs"][i],
@@ -292,21 +294,30 @@ class EdgePartitionedGCN:
         """Jitted shard_map forward over the full partitioned graph.
 
         Returns node logits ``[D, P_local, C]`` (sharded over the mesh).
+        The compiled function is cached per (mesh, axis, train) so repeated
+        calls do not retrace.
         """
         model = self
+        cache_key = (mesh, axis_name, train)
+        _fwd = self._fwd_cache.get(cache_key)
+        if _fwd is None:
 
-        @jax.jit
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis_name)),
-            out_specs=P(axis_name),
-        )
-        def _fwd(params, state, stacked):
-            shard = jax.tree_util.tree_map(lambda a: a[0], stacked)
-            logits, _ = model.apply_shard(
-                params, state, shard, axis_name=axis_name, train=train, rng=rng
+            @jax.jit
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(axis_name)),
+                out_specs=P(axis_name),
             )
-            return logits[None]
+            def _fwd(params, state, rng, stacked):
+                shard = jax.tree_util.tree_map(lambda a: a[0], stacked)
+                logits, _ = model.apply_shard(
+                    params, state, shard, axis_name=axis_name, train=train, rng=rng
+                )
+                return logits[None]
 
-        return _fwd(params, state, pgraph)
+            self._fwd_cache[cache_key] = _fwd
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return _fwd(params, state, rng, pgraph)

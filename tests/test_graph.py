@@ -205,3 +205,23 @@ class TestPrefetch:
 
         with _pytest.raises(RuntimeError, match="boom"):
             next(it)
+
+    def test_prefetch_exhaustion_and_abandonment(self):
+        from connectome_gnn_tpu.data.prefetch import PrefetchIterator
+
+        graphs = [make_simple_graph(seed=s) for s in range(4)]
+        loader = ConnectomeDataLoader(graphs, batch_size=2, shuffle=False)
+        it = PrefetchIterator(loader, depth=1)
+        list(it)
+        import pytest as _pytest
+
+        with _pytest.raises(StopIteration):  # must not hang
+            next(it)
+        with _pytest.raises(StopIteration):
+            next(it)
+
+        # abandoning early must unblock the producer thread
+        it2 = PrefetchIterator(ConnectomeDataLoader(graphs, batch_size=1, shuffle=False), depth=1)
+        next(it2)
+        it2.close()
+        assert not it2._thread.is_alive()

@@ -79,8 +79,7 @@ class TestGCNNormalize:
         weights = np.concatenate([w, w])
 
         norm = gcn_normalize(
-            jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(weights), n,
-            indices_are_sorted=False,
+            jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(weights), n
         )
         deg = np_segment_sum(weights, senders, n) + 1.0
         dinv = 1.0 / np.sqrt(deg + 1e-8)
@@ -109,8 +108,7 @@ class TestGCNNormalize:
         x = rng.normal(size=(n, f)).astype(np.float32)
 
         norm = gcn_normalize(
-            jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(weights), n,
-            indices_are_sorted=False,
+            jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(weights), n
         )
         out = coo_spmm(
             norm.edge_norm, jnp.asarray(senders), jnp.asarray(receivers),
