@@ -20,6 +20,7 @@ from connectome_gnn_tpu.ops.gcn_norm import GCNNorm, gcn_normalize
 from connectome_gnn_tpu.ops.segment import (
     coo_spmm,
     graph_mean_pool,
+    sddmm,
     segment_mean,
     segment_sum,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "gcn_normalize",
     "gcn_normalize_banded",
     "graph_mean_pool",
+    "sddmm",
     "segment_mean",
     "segment_sum",
     "to_banded",

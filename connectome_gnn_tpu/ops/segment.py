@@ -101,3 +101,20 @@ def coo_spmm(
     return segment_sum(
         messages, receivers, num_nodes, indices_are_sorted=indices_are_sorted
     )
+
+
+def sddmm(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sampled dense-dense matrix multiply over an edge list.
+
+    ``out[e] = x[receivers[e]] · y[senders[e]]`` — per-edge dot products of
+    node embeddings, the standard sparse-attention / edge-scoring primitive
+    (the normalization in :mod:`ops.gcn_norm` is the rank-1 special case).
+    XLA fuses the two gathers and the contraction into one pass over the
+    edge list.
+    """
+    return jnp.sum(x[receivers] * y[senders], axis=-1)

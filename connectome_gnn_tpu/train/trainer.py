@@ -214,6 +214,46 @@ class Trainer:
             "total": total,
         }
 
+    def predict(self, loader: ConnectomeDataLoader):
+        """Per-graph logits over ``loader`` (eval mode), real graphs only.
+
+        Returns a ``[num_real_graphs, num_classes]`` numpy array in loader
+        order (use an unshuffled loader for stable alignment with the
+        dataset).  Works in both single-device and mesh (stacked-batch)
+        modes — this is the serving path, the analog of the reference's
+        ``evaluate``-as-inference usage (reference train.py:56-74).
+        """
+        import numpy as np
+
+        if not hasattr(self, "_predict_step"):
+            model = self.model
+
+            @jax.jit
+            def predict_step(params, state, batch):
+                logits, _ = model.apply(params, state, batch, train=False)
+                return logits
+
+            self._predict_step = predict_step
+            # stacked (sharded-loader) batches: vmap over the device axis
+            self._predict_step_stacked = jax.jit(
+                jax.vmap(
+                    lambda p, s, b: model.apply(p, s, b, train=False)[0],
+                    in_axes=(None, None, 0),
+                )
+            )
+
+        chunks = []
+        for batch in loader:
+            stacked = batch.label_mask.ndim == 2
+            step = self._predict_step_stacked if stacked else self._predict_step
+            logits = np.asarray(step(self.params, self.state, batch))
+            mask = np.asarray(batch.label_mask)
+            if stacked:  # [D, B, C] → flat
+                logits = logits.reshape(-1, logits.shape[-1])
+                mask = mask.reshape(-1)
+            chunks.append(logits[mask])
+        return np.concatenate(chunks, axis=0)
+
     def fit(
         self,
         train_loader: ConnectomeDataLoader,

@@ -123,3 +123,33 @@ class TestGCNNormalize:
         dinv = 1.0 / np.sqrt(deg + 1e-8)
         expected = (dinv[:, None] * A_hat * dinv[None, :]) @ x
         assert np.allclose(out, expected, atol=1e-4)
+
+
+class TestSDDMM:
+    def test_matches_dense(self):
+        from connectome_gnn_tpu.ops import sddmm
+
+        rng = np.random.default_rng(5)
+        n, e, f = 12, 30, 8
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        y = rng.normal(size=(n, f)).astype(np.float32)
+        s = rng.integers(0, n, e).astype(np.int32)
+        r = rng.integers(0, n, e).astype(np.int32)
+        out = sddmm(jnp.asarray(x), jnp.asarray(y), jnp.asarray(s), jnp.asarray(r))
+        expected = (x @ y.T)[r, s]
+        assert np.allclose(out, expected, atol=1e-5)
+
+    def test_gcn_norm_is_rank1_sddmm(self):
+        from connectome_gnn_tpu.ops import gcn_normalize, sddmm
+
+        rng = np.random.default_rng(6)
+        n, pairs = 10, 15
+        u = rng.integers(0, n, pairs); v = rng.integers(0, n, pairs)
+        w = rng.random(pairs).astype(np.float32)
+        senders = jnp.asarray(np.concatenate([u, v]).astype(np.int32))
+        receivers = jnp.asarray(np.concatenate([v, u]).astype(np.int32))
+        weights = jnp.asarray(np.concatenate([w, w]))
+        norm = gcn_normalize(senders, receivers, weights, n)
+        dinv_col = norm.deg_inv_sqrt[:, None]
+        via_sddmm = sddmm(dinv_col, dinv_col, senders, receivers) * weights
+        assert np.allclose(via_sddmm, norm.edge_norm, atol=1e-6)

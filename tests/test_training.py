@@ -100,3 +100,52 @@ class TestCheckpoint:
         save_checkpoint(str(tmp_path / "c"), {"a": np.ones(3)})
         with pytest.raises(KeyError):
             restore_checkpoint(str(tmp_path / "c"), {"a": np.ones(3), "b": np.ones(2)})
+
+
+class TestPredict:
+    def test_predict_order_and_shape(self, small_loaders):
+        _, val_loader = small_loaders
+        trainer = make_trainer()
+        logits = trainer.predict(val_loader)
+        assert logits.shape == (10, 2)
+        # predictions consistent with evaluate()'s accuracy accounting
+        metrics = trainer.evaluate(val_loader)
+        labels = np.concatenate(
+            [np.asarray(b.labels)[np.asarray(b.label_mask)] for b in val_loader]
+        )
+        acc = (logits.argmax(1) == labels).mean()
+        assert np.isclose(acc, metrics["accuracy"])
+
+    def test_predict_sharded_loader(self, cpu_devices):
+        from connectome_gnn_tpu.parallel import create_mesh
+
+        graphs = generate_dataset(num_subjects=20, num_regions=20, seed=4)
+        mesh = create_mesh()
+        model = GCNConnectome(in_channels=5, hidden_dim=16, num_layers=2)
+        trainer = Trainer(model, seed=0, mesh=mesh)
+        plain = ConnectomeDataLoader(graphs, batch_size=8, shuffle=False)
+        sharded = ConnectomeDataLoader(graphs, batch_size=8, shuffle=False, num_shards=8)
+        # same params → same per-graph logits from both loader layouts
+        single = Trainer(model, seed=0)
+        a = single.predict(plain)
+        b = trainer.predict(sharded)
+        assert a.shape == b.shape == (20, 2)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestDPDenseLayout:
+    def test_dp_training_on_dense_layout(self, cpu_devices):
+        from connectome_gnn_tpu.parallel import create_mesh
+
+        graphs = generate_dataset(num_subjects=16, num_regions=20, seed=5)
+        mesh = create_mesh()
+        loader = ConnectomeDataLoader(
+            graphs, batch_size=8, shuffle=False, num_shards=8, layout="dense"
+        )
+        model = GCNConnectome(in_channels=5, hidden_dim=16, num_layers=2)
+        trainer = Trainer(model, seed=0, mesh=mesh)
+        history = trainer.fit(loader, loader, num_epochs=2, patience=5, verbose=False)
+        assert len(history["train_loss"]) == 2
+        assert all(np.isfinite(v) for v in history["train_loss"])
+        metrics = trainer.evaluate(loader)
+        assert metrics["total"] == 16
