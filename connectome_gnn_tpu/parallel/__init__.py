@@ -6,9 +6,16 @@ from connectome_gnn_tpu.parallel.data_parallel import (
     shard_batch,
     stack_batches,
 )
+from connectome_gnn_tpu.parallel.banded_partition import (
+    PartitionedBanded,
+    ShardedBandedGCN,
+    halo_exchange,
+    partition_banded,
+)
 from connectome_gnn_tpu.parallel.edge_partition import (
     EdgePartitionedGCN,
     PartitionedGraph,
+    make_partitioned_train_step,
     partition_graph,
     partitioned_gcn_layer,
 )
@@ -16,10 +23,15 @@ from connectome_gnn_tpu.parallel.mesh import create_mesh
 
 __all__ = [
     "EdgePartitionedGCN",
+    "PartitionedBanded",
+    "ShardedBandedGCN",
+    "halo_exchange",
+    "partition_banded",
     "PartitionedGraph",
     "create_mesh",
     "make_dp_eval_step",
     "make_dp_train_step",
+    "make_partitioned_train_step",
     "partition_graph",
     "partitioned_gcn_layer",
     "shard_batch",

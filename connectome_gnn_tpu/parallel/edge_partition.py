@@ -321,3 +321,52 @@ class EdgePartitionedGCN:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         return _fwd(params, state, rng, pgraph)
+
+
+def make_partitioned_train_step(
+    model: EdgePartitionedGCN,
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = "edge",
+):
+    """Jitted node-classification train step over a partitioned graph.
+
+    Signature: ``(params, state, opt_state, step_key, pgraph) ->
+    (params, state, opt_state, loss, n_real)``.  The loss is the masked
+    mean cross-entropy over labeled nodes across ALL shards; gradients
+    follow the same exactness rules as the data-parallel step (shard_map's
+    vma autodiff delivers cotangents of replicated params already psummed —
+    only the global-count normalization is applied here).
+    """
+    import optax
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def _step(params, state, opt_state, step_key, stacked):
+        shard = jax.tree_util.tree_map(lambda a: a[0], stacked)
+
+        def loss_sum_fn(p):
+            logits, new_state = model.apply_shard(
+                p, state, shard, axis_name=axis_name, train=True, rng=step_key
+            )
+            ce = jax.nn.log_softmax(logits)
+            ce = -jnp.take_along_axis(ce, shard.labels[:, None], axis=1)[:, 0]
+            mask = shard.label_mask.astype(jnp.float32)
+            return jnp.sum(ce * mask), (new_state, jnp.sum(mask))
+
+        (local_sum, (new_state, local_n)), grads = jax.value_and_grad(
+            loss_sum_fn, has_aux=True
+        )(params)
+        n = jnp.maximum(jax.lax.psum(local_n, axis_name), 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+        loss = jax.lax.psum(local_sum, axis_name) / n
+
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, loss, n
+
+    return jax.jit(_step)

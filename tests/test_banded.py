@@ -152,3 +152,56 @@ class TestBandedNodeGCN:
         before = np.asarray(state["norms"][0]["mean"])
         after = np.asarray(new_state["norms"][0]["mean"])
         assert not np.allclose(before, after)
+
+
+class TestShardedBandedGCN:
+    def _setup(self, num_shards, block=16):
+        import jax
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+        from connectome_gnn_tpu.parallel import (
+            ShardedBandedGCN, create_mesh, partition_banded)
+
+        senders, receivers, weights = random_banded_graph(
+            n=480, degree=6, band=24, seed=11)
+        a = to_banded(senders, receivers, weights, 480, block=block)
+        x = np.random.default_rng(12).standard_normal((480, 5)).astype(np.float32)
+
+        model = ShardedBandedGCN(in_channels=5, hidden_dim=16, num_layers=3)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        single = BandedNodeGCN(in_channels=5, hidden_dim=16, num_layers=3)
+        expected, _ = single.apply(params, state, a, jnp.asarray(x))
+
+        mesh = create_mesh(axis_names=("edge",))
+        pb = partition_banded(a, x, num_shards)
+        return model, params, state, pb, mesh, expected, a
+
+    def test_matches_single_device(self, cpu_devices):
+        model, params, state, pb, mesh, expected, a = self._setup(8)
+        logits = model.forward(params, state, pb, mesh)
+        flat = np.asarray(logits).reshape(-1, 2)[: a.num_nodes]
+        np.testing.assert_allclose(
+            flat, np.asarray(expected), rtol=1e-3, atol=1e-4
+        )
+
+    def test_matches_with_nondividing_blocks(self, cpu_devices):
+        # 480/16 = 30 blocks over 4 shards → 32 padded blocks, 8 per shard
+        model, params, state, pb, mesh4, expected, a = self._setup(4)
+        from connectome_gnn_tpu.parallel import create_mesh
+        mesh = create_mesh(shape=(4,), axis_names=("edge",),
+                           devices=__import__("jax").devices()[:4])
+        logits = model.forward(params, state, pb, mesh)
+        flat = np.asarray(logits).reshape(-1, 2)[: a.num_nodes]
+        np.testing.assert_allclose(
+            flat, np.asarray(expected), rtol=1e-3, atol=1e-4
+        )
+
+    def test_bandwidth_exceeding_shard_raises(self):
+        from connectome_gnn_tpu.parallel import partition_banded
+
+        senders, receivers, weights = random_banded_graph(
+            n=128, degree=4, band=60, seed=13)
+        a = to_banded(senders, receivers, weights, 128, block=16)
+        x = np.zeros((128, 5), np.float32)
+        with pytest.raises(ValueError, match="bandwidth"):
+            partition_banded(a, x, 8)

@@ -93,3 +93,85 @@ class TestEdgePartitionedGCN:
         pg = partition_graph(giant_graph, 8)
         logits = model.forward(params, state, pg, mesh)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestPartitionedTraining:
+    def test_train_step_reduces_loss(self, giant_graph, cpu_devices):
+        import optax
+        from connectome_gnn_tpu.parallel import (
+            create_mesh, make_partitioned_train_step, partition_graph)
+
+        labels = (giant_graph.degree() > np.median(giant_graph.degree())).astype(np.int32)
+        pg = partition_graph(giant_graph, 8, node_labels=labels)
+        mesh = create_mesh(axis_names=("edge",))
+        model = EdgePartitionedGCN(in_channels=5, hidden_dim=32, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+        step = make_partitioned_train_step(model, opt, mesh)
+
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(15):
+            key, k = jax.random.split(key)
+            params, state, opt_state, loss, n = step(params, state, opt_state, k, pg)
+            losses.append(float(loss))
+        assert int(n) == giant_graph.num_nodes
+        assert losses[-1] < losses[0]
+
+    def test_train_step_grads_match_single_device(self, giant_graph, cpu_devices):
+        """One partitioned grad step == the equivalent unpartitioned grad."""
+        import optax
+        from connectome_gnn_tpu.parallel import (
+            create_mesh, make_partitioned_train_step, partition_graph)
+
+        labels = np.arange(giant_graph.num_nodes) % 2
+        pg = partition_graph(giant_graph, 8, node_labels=labels)
+        mesh = create_mesh(axis_names=("edge",))
+        model = EdgePartitionedGCN(
+            in_channels=5, hidden_dim=16, num_layers=2, dropout=0.0
+        )
+        params, state = model.init(jax.random.PRNGKey(0))
+        opt = optax.sgd(1e-1)
+        step = make_partitioned_train_step(model, opt, mesh)
+        new_params, _, _, loss, _ = step(
+            params, state, opt.init(params), jax.random.PRNGKey(0), pg
+        )
+
+        # single-device oracle: same loss function over the whole graph,
+        # train-mode BN (global stats == psummed shard stats)
+        from connectome_gnn_tpu.models.layers import gcn_layer_apply
+        from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply
+
+        order = np.argsort(giant_graph.edge_index[1], kind="stable")
+        senders = jnp.asarray(giant_graph.edge_index[0][order])
+        receivers = jnp.asarray(giant_graph.edge_index[1][order])
+        weights = jnp.asarray(giant_graph.edge_weight[order])
+        x = jnp.asarray(giant_graph.node_features)
+        y = jnp.asarray(labels.astype(np.int32))
+        mask = jnp.ones((giant_graph.num_nodes,), bool)
+
+        def loss_fn(p):
+            h = x
+            for i in range(2):
+                h = gcn_layer_apply(p["convs"][i], h, senders, receivers, weights)
+                h, _ = batch_norm_apply(
+                    p["norms"][i], state["norms"][i], h, mask, train=True
+                )
+                h = jax.nn.relu(h)
+            logits = dense_apply(p["head"], h)
+            ce = -jax.nn.log_softmax(logits)[jnp.arange(y.shape[0]), y]
+            return jnp.mean(ce)
+
+        oracle_loss, oracle_grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(loss), float(oracle_loss), rtol=1e-4)
+        expected = optax.apply_updates(
+            params, opt.update(oracle_grads, opt.init(params), params)[0]
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new_params),
+            jax.tree_util.tree_leaves(expected),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
