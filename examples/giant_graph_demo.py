@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Giant-graph node classification demo.
+
+The voxel-level regime (BASELINE config 5): one large spatially-embedded
+connectome, trained for node-level prediction with the banded MXU path:
+
+  1. synthesize a spatially-local giant graph (voxel-like locality),
+  2. scramble it and recover the band with Reverse-Cuthill-McKee,
+  3. convert to banded block-dense form,
+  4. train a BandedNodeGCN (single chip), and
+  5. run the same parameters through the halo-exchange sharded model on a
+     device mesh, confirming identical predictions.
+
+Usage:
+    python examples/giant_graph_demo.py [--cpu] [--nodes 20000]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--nodes", type=int, default=20_000)
+    parser.add_argument("--degree", type=int, default=12)
+    parser.add_argument("--band", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=200)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from connectome_gnn_tpu.data.graph import ConnectomeGraph
+    from connectome_gnn_tpu.data.reorder import (
+        apply_ordering,
+        bandwidth,
+        reverse_cuthill_mckee,
+    )
+    from connectome_gnn_tpu.models import BandedNodeGCN
+    from connectome_gnn_tpu.ops import to_banded
+
+    print(f"JAX backend: {jax.default_backend()}")
+
+    # ------------------------------------------------------------------
+    # 1. Spatially-local giant graph (voxel-like: neighbors in index space)
+    # ------------------------------------------------------------------
+    n, deg, band = args.nodes, args.degree, args.band
+    rng = np.random.default_rng(0)
+    receivers = np.repeat(np.arange(n), deg)
+    senders = np.clip(
+        receivers + rng.integers(-band, band + 1, receivers.shape[0]), 0, n - 1
+    )
+    weights = rng.beta(2, 5, receivers.shape[0]).astype(np.float32)
+    features = rng.standard_normal((n, 5)).astype(np.float32)
+    graph = ConnectomeGraph(
+        node_features=features,
+        edge_index=np.stack([senders, receivers]).astype(np.int32),
+        edge_weight=weights,
+        subject_id="voxel-demo",
+    )
+    print(f"graph: {n:,} nodes, {graph.num_edges:,} edges, band ±{band}")
+
+    # labels: a 2-hop-smoothing task (needs message passing to solve)
+    deg_w = graph.degree()
+    smooth = np.zeros(n, np.float32)
+    np.add.at(smooth, receivers, deg_w[senders] * weights)
+    labels = (smooth > np.median(smooth)).astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # 2. Scramble + recover locality with RCM
+    # ------------------------------------------------------------------
+    scramble = rng.permutation(n)
+    scrambled = apply_ordering(graph, scramble)
+    print(f"scrambled bandwidth: {bandwidth(scrambled.edge_index):,}")
+    t0 = time.perf_counter()
+    perm = reverse_cuthill_mckee(scrambled.edge_index, n)
+    recovered = apply_ordering(scrambled, perm)
+    print(
+        f"RCM bandwidth: {bandwidth(recovered.edge_index):,} "
+        f"({time.perf_counter() - t0:.1f}s host-side)"
+    )
+    labels_scrambled = labels[scramble]
+    labels_rcm = labels_scrambled[perm]
+
+    # ------------------------------------------------------------------
+    # 3. Banded form
+    # ------------------------------------------------------------------
+    a = to_banded(
+        recovered.edge_index[0],
+        recovered.edge_index[1],
+        recovered.edge_weight,
+        n,
+        block=128,
+    )
+    mb = a.band.size * 4 / 1e6
+    print(
+        f"banded: {a.num_blocks} row blocks × {2 * a.bandwidth + 1} diagonals "
+        f"of 128² ({mb:.0f} MB)"
+    )
+
+    # ------------------------------------------------------------------
+    # 4. Train single-chip
+    # ------------------------------------------------------------------
+    model = BandedNodeGCN(in_channels=5, hidden_dim=64, num_layers=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    x = jnp.asarray(recovered.node_features)
+    y = jnp.asarray(labels_rcm)
+    band_arr = a.band
+
+    @jax.jit
+    def train_step(params, state, opt_state, band_arr, key):
+        adj = a._replace(band=band_arr)
+
+        def loss_fn(p):
+            logits, new_state = model.apply(p, state, adj, x, train=True, rng=key)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.mean(ce), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, new_opt, loss
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    for step_idx in range(args.steps):
+        key, k = jax.random.split(key)
+        params, state, opt_state, loss = train_step(
+            params, state, opt_state, band_arr, k
+        )
+        if (step_idx + 1) % max(args.steps // 4, 1) == 0:
+            logits, _ = model.apply(params, state, a, x)
+            acc = float(jnp.mean(jnp.argmax(logits, 1) == y))
+            print(
+                f"  step {step_idx + 1:4d}: loss {float(loss):.4f}, "
+                f"node acc {acc:.3f}"
+            )
+    print(f"trained {args.steps} steps in {time.perf_counter() - t0:.1f}s")
+
+    # ------------------------------------------------------------------
+    # 5. Same parameters through the halo-exchange sharded model
+    # ------------------------------------------------------------------
+    num_dev = len(jax.devices())
+    if num_dev > 1:
+        from connectome_gnn_tpu.parallel import (
+            ShardedBandedGCN,
+            create_mesh,
+            partition_banded,
+        )
+
+        mesh = create_mesh(axis_names=("edge",))
+        sharded = ShardedBandedGCN(in_channels=5, hidden_dim=64, num_layers=3)
+        pb = partition_banded(a, recovered.node_features, num_dev)
+        out = sharded.forward(params, state, pb, mesh)
+        flat = np.asarray(out).reshape(-1, out.shape[-1])[:n]
+        single_logits, _ = model.apply(params, state, a, x)
+        max_diff = float(np.abs(flat - np.asarray(single_logits)).max())
+        print(
+            f"sharded ({num_dev} devices, halo exchange) vs single-chip "
+            f"max |Δlogit| = {max_diff:.2e}"
+        )
+    else:
+        print("(single device — skipping the sharded cross-check; run with "
+              "XLA_FLAGS=--xla_force_host_platform_device_count=8 and --cpu)")
+
+
+if __name__ == "__main__":
+    main()
