@@ -4,6 +4,7 @@ from connectome_gnn_tpu.data.atlas import NUM_REGIONS, REGION_NAMES
 from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round_up
 from connectome_gnn_tpu.data.dense import DenseConnectomeBatch, collate_dense
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
+from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
 from connectome_gnn_tpu.data.prefetch import PrefetchIterator, PrefetchLoader
 from connectome_gnn_tpu.data.sampling import sample_subgraph
@@ -26,6 +27,9 @@ __all__ = [
     "PrefetchLoader",
     "collate_dense",
     "collate_graphs",
+    "graph_from_adjacency",
+    "load_dataset",
+    "save_dataset",
     "sample_subgraph",
     "generate_connectome",
     "generate_dataset",

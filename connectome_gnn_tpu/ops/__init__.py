@@ -16,6 +16,7 @@ from connectome_gnn_tpu.ops.banded import (
     gcn_normalize_banded,
     to_banded,
 )
+from connectome_gnn_tpu.ops.fused_pallas import fused_gcn_forward, fused_sage_forward, gcn_forward_auto
 from connectome_gnn_tpu.ops.gcn_norm import GCNNorm, gcn_normalize
 from connectome_gnn_tpu.ops.segment import (
     coo_spmm,
@@ -30,6 +31,9 @@ __all__ = [
     "GCNNorm",
     "banded_spmm",
     "coo_spmm",
+    "fused_gcn_forward",
+    "fused_sage_forward",
+    "gcn_forward_auto",
     "gcn_normalize",
     "gcn_normalize_banded",
     "graph_mean_pool",

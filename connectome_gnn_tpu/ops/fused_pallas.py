@@ -251,3 +251,174 @@ def gcn_forward_auto(model, params: dict, state: dict, batch) -> jnp.ndarray:
         )
     logits, _ = model.apply(params, state, batch, train=False)
     return logits
+
+
+def _fused_sage_kernel(
+    x_ref,         # [G, n, F]
+    adj_ref,       # [G, n, n]
+    mask_ref,      # [G, n, 1]
+    w_self_in_ref, # [F, H]
+    w_agg_in_ref,  # [F, H]
+    w_self_h_ref,  # [L-1, H, H]
+    w_agg_h_ref,   # [L-1, H, H]
+    b_ref,         # [L, H]     conv bias (inside the ReLU)
+    bn_scale_ref,  # [L, H]     eval-BN affine scale (applied after ReLU)
+    bn_shift_ref,  # [L, H]
+    w_f1_ref,      # [H, H2]
+    b_f1_ref,      # [1, H2]
+    w_f2_ref,      # [H2, C]
+    b_f2_ref,      # [1, C]
+    out_ref,       # [B, C]
+    pooled_ref,    # scratch [S, G, H]
+    *,
+    num_layers: int,
+    graphs_per_block: int,
+):
+    """Whole-model GraphSAGE inference for one group of graphs.
+
+    Per layer (reference models.py:136-152, 256-262): weighted-mean
+    aggregate → split-matmul concat projection → ReLU, then the folded
+    eval-BatchNorm affine (SAGE's encode has no post-BN ReLU).  The concat
+    ``[h, agg] @ W`` is computed as ``h @ W_self + agg @ W_agg`` to stay
+    concat-free in VMEM.
+    """
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+    G = graphs_per_block
+
+    adj = adj_ref[:]                          # [G, n, n]
+    m = mask_ref[:]                           # [G, n, 1]
+    w_sum = jnp.sum(adj, axis=2, keepdims=True) + EPS  # [G, n, 1]
+
+    h = x_ref[:]
+    for layer in range(num_layers):
+        w_self = w_self_in_ref[:] if layer == 0 else w_self_h_ref[layer - 1]
+        w_agg = w_agg_in_ref[:] if layer == 0 else w_agg_h_ref[layer - 1]
+        msum = jax.lax.dot_general(
+            adj, h,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        agg = msum / w_sum
+        z = (
+            jax.lax.dot_general(
+                h, w_self,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                agg, w_agg,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[layer]
+        )
+        h = jnp.maximum(z, 0.0) * bn_scale_ref[layer] + bn_shift_ref[layer]
+
+    pooled = jnp.sum(h * m, axis=1) / (jnp.sum(m, axis=1) + EPS)
+    pooled_ref[step] = pooled
+
+    @pl.when(step == num_steps - 1)
+    def _():
+        B = num_steps * G
+        flat = pooled_ref[:].reshape(B, pooled.shape[-1])
+        hidden = jnp.maximum(
+            jnp.dot(flat, w_f1_ref[:], preferred_element_type=jnp.float32)
+            + b_f1_ref[0],
+            0.0,
+        )
+        out_ref[:] = (
+            jnp.dot(hidden, w_f2_ref[:], preferred_element_type=jnp.float32)
+            + b_f2_ref[0]
+        )
+
+
+@partial(jax.jit, static_argnames=("num_layers", "interpret"))
+def fused_sage_forward(
+    params: dict,
+    state: dict,
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    *,
+    num_layers: int = 3,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused GraphSAGE inference kernel.  Returns logits ``[B, C]``.
+
+    ``params``/``state`` are :class:`GraphSAGEConnectome` pytrees;
+    ``x``/``adj``/``node_mask`` come from a :class:`DenseConnectomeBatch`.
+    """
+    B, n, F = x.shape
+    H = params["convs"][-1]["kernel"].shape[1]
+    C = params["head"]["fc2"]["kernel"].shape[1]
+    for i in range(1, num_layers):
+        if params["convs"][i]["kernel"].shape != (2 * H, H):
+            raise ValueError(
+                "fused kernel requires uniform hidden width across layers"
+            )
+
+    # eval-BN affine (applied AFTER the in-layer ReLU; conv bias cannot be
+    # folded through the nonlinearity, so it stays separate)
+    scales, shifts = [], []
+    for i in range(num_layers):
+        bn_p, bn_s = params["norms"][i], state["norms"][i]
+        s = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + 1e-5)
+        t = bn_p["bias"] - bn_s["mean"] * s
+        scales.append(s)
+        shifts.append(t)
+    bn_scale, bn_shift = jnp.stack(scales), jnp.stack(shifts)
+
+    k0 = params["convs"][0]["kernel"]  # [2F, H]
+    w_self_in, w_agg_in = k0[:F], k0[F:]
+    if num_layers > 1:
+        w_self_h = jnp.stack(
+            [params["convs"][i]["kernel"][:H] for i in range(1, num_layers)]
+        )
+        w_agg_h = jnp.stack(
+            [params["convs"][i]["kernel"][H:] for i in range(1, num_layers)]
+        )
+    else:
+        w_self_h = jnp.zeros((1, H, H), jnp.float32)
+        w_agg_h = jnp.zeros((1, H, H), jnp.float32)
+    biases = jnp.stack(
+        [params["convs"][i]["bias"] for i in range(num_layers)]
+    )
+
+    G = _choose_graphs_per_block(B, n, F, H)
+    kernel = partial(
+        _fused_sage_kernel, num_layers=num_layers, graphs_per_block=G
+    )
+    per_group = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b: (b,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+    )
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        in_specs=[
+            per_group((G, n, F)),
+            per_group((G, n, n)),
+            per_group((G, n, 1)),
+        ]
+        + [whole] * 11,
+        out_specs=pl.BlockSpec((B, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B // G, G, H), jnp.float32)],
+        interpret=interpret,
+    )(
+        x,
+        adj,
+        node_mask.astype(jnp.float32)[:, :, None],
+        w_self_in,
+        w_agg_in,
+        w_self_h,
+        w_agg_h,
+        biases,
+        bn_scale,
+        bn_shift,
+        params["head"]["fc1"]["kernel"],
+        params["head"]["fc1"]["bias"][None, :],
+        params["head"]["fc2"]["kernel"],
+        params["head"]["fc2"]["bias"][None, :],
+    )

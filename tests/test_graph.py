@@ -225,3 +225,38 @@ class TestPrefetch:
         next(it2)
         it2.close()
         assert not it2._thread.is_alive()
+
+
+class TestIO:
+    def test_graph_from_adjacency(self):
+        A = np.array([[0, 0.5, 0], [0.5, 0, 0.2], [0, 0.2, 0]], np.float32)
+        from connectome_gnn_tpu.data import graph_from_adjacency
+
+        g = graph_from_adjacency(A, label=1, subject_id="s1")
+        assert g.num_nodes == 3
+        assert g.num_edges == 4  # two undirected pairs, both directions
+        assert np.allclose(g.adjacency_matrix(), A)
+        assert g.num_features == 1  # default degree feature
+        assert g.label == 1
+
+    def test_graph_from_adjacency_threshold(self):
+        from connectome_gnn_tpu.data import graph_from_adjacency
+
+        A = np.array([[0, 0.5], [0.05, 0]], np.float32)
+        g = graph_from_adjacency(A, threshold=0.1)
+        assert g.num_edges == 1
+
+    def test_dataset_roundtrip(self, tmp_path):
+        from connectome_gnn_tpu.data import load_dataset, save_dataset
+
+        graphs = [make_simple_graph(num_nodes=4 + s, seed=s, label=s % 2) for s in range(3)]
+        graphs[1].label = None
+        path = str(tmp_path / "cohort")
+        save_dataset(path, graphs)
+        loaded = load_dataset(path)
+        assert len(loaded) == 3
+        for a, b in zip(graphs, loaded):
+            assert np.allclose(a.node_features, b.node_features)
+            assert np.array_equal(a.edge_index, b.edge_index)
+            assert a.label == b.label
+            assert a.subject_id == b.subject_id
