@@ -1,7 +1,7 @@
 """Data layer: host-side graphs, padded device batches, loaders, synthesis."""
 
 from connectome_gnn_tpu.data.atlas import NUM_REGIONS, REGION_NAMES
-from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round_up
+from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round_up, to_device
 from connectome_gnn_tpu.data.dense import DenseConnectomeBatch, collate_dense
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
@@ -35,4 +35,5 @@ __all__ = [
     "generate_dataset",
     "round_up",
     "small_world_stats",
+    "to_device",
 ]

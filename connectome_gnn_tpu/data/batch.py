@@ -226,3 +226,20 @@ def collate_graphs(
         row_ptr=jnp.asarray(row_ptr),
         num_graphs=B,
     )
+
+
+def to_device(batch, device=None):
+    """Place a batch pytree on a device (default: the first accelerator).
+
+    The analog of the reference containers' ``.to(device)``
+    (reference graph.py:87-94, 132-140): arrays in a
+    :class:`ConnectomeBatch` / :class:`DenseConnectomeBatch` (or any
+    pytree) are transferred with ``jax.device_put``.  Usually unnecessary —
+    jitted steps move operands automatically — but explicit placement
+    helps pipelining and multi-process setups.
+    """
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, device), batch)

@@ -35,6 +35,32 @@ from connectome_gnn_tpu.ops.banded import (
 )
 
 
+def init_node_gcn_params(
+    key: jax.Array,
+    in_channels: int,
+    hidden_dim: int,
+    num_classes: int,
+    num_layers: int,
+) -> tuple[dict, dict]:
+    """Shared parameter/state builder for node-level GCN classifiers
+    (L GCN convolutions + BatchNorm + per-node linear head).  Used by
+    :class:`BandedNodeGCN` and the partitioned giant-graph models, which
+    are therefore parameter-compatible with each other."""
+    dims = [in_channels] + [hidden_dim] * num_layers
+    keys = jax.random.split(key, num_layers + 1)
+    convs = [
+        gcn_layer_init(keys[i], dims[i], dims[i + 1]) for i in range(num_layers)
+    ]
+    norm_params, norm_states = zip(
+        *(batch_norm_init(hidden_dim) for _ in range(num_layers))
+    )
+    head = dense_init(keys[-1], hidden_dim, num_classes)
+    return (
+        {"convs": convs, "norms": list(norm_params), "head": head},
+        {"norms": list(norm_states)},
+    )
+
+
 class BandedNodeGCN:
     """L-layer node-classification GCN over a :class:`BandedMatrix`."""
 
@@ -53,19 +79,9 @@ class BandedNodeGCN:
         self.dropout = float(dropout)
 
     def init(self, key: jax.Array) -> tuple[dict, dict]:
-        dims = [self.in_channels] + [self.hidden_dim] * self.num_layers
-        keys = jax.random.split(key, self.num_layers + 1)
-        convs = [
-            gcn_layer_init(keys[i], dims[i], dims[i + 1])
-            for i in range(self.num_layers)
-        ]
-        norm_params, norm_states = zip(
-            *(batch_norm_init(self.hidden_dim) for _ in range(self.num_layers))
-        )
-        head = dense_init(keys[-1], self.hidden_dim, self.num_classes)
-        return (
-            {"convs": convs, "norms": list(norm_params), "head": head},
-            {"norms": list(norm_states)},
+        return init_node_gcn_params(
+            key, self.in_channels, self.hidden_dim, self.num_classes,
+            self.num_layers,
         )
 
     def apply(

@@ -22,15 +22,13 @@ Use :func:`partition_banded` (host side) to shard a
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
-
 from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+from connectome_gnn_tpu.parallel.shard_forward import ShardMapForwardMixin
 from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply, dropout
 from connectome_gnn_tpu.ops.banded import BandedMatrix
 from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
@@ -172,16 +170,12 @@ def _halo_reduce_degrees(
     return own
 
 
-class ShardedBandedGCN(BandedNodeGCN):
+class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
     """Halo-exchange sharded variant of :class:`BandedNodeGCN`.
 
     Parameter pytrees are identical to the single-device model — the same
     ``init`` applies; only the forward is distributed.
     """
-
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self._fwd_cache: dict = {}
 
     def apply_shard(
         self,
@@ -266,40 +260,3 @@ class ShardedBandedGCN(BandedNodeGCN):
             h = dropout(drop_keys[i], h, self.dropout, train=train)
         logits = dense_apply(params["head"], h)
         return logits, {"norms": new_norms}
-
-    def forward(
-        self,
-        params: dict,
-        state: dict,
-        pbanded: PartitionedBanded,
-        mesh: Mesh,
-        *,
-        axis_name: str = "edge",
-        train: bool = False,
-        rng: Optional[jax.Array] = None,
-    ) -> jnp.ndarray:
-        """Jitted shard_map forward; returns node logits ``[D, P_local, C]``."""
-        model = self
-        cache_key = (mesh, axis_name, train)
-        _fwd = self._fwd_cache.get(cache_key)
-        if _fwd is None:
-
-            @jax.jit
-            @partial(
-                jax.shard_map,
-                mesh=mesh,
-                in_specs=(P(), P(), P(), P(axis_name)),
-                out_specs=P(axis_name),
-            )
-            def _fwd(params, state, rng, stacked):
-                shard = jax.tree_util.tree_map(lambda a: a[0], stacked)
-                logits, _ = model.apply_shard(
-                    params, state, shard, axis_name=axis_name, train=train, rng=rng
-                )
-                return logits[None]
-
-            self._fwd_cache[cache_key] = _fwd
-
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        return _fwd(params, state, rng, pbanded)

@@ -31,6 +31,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from connectome_gnn_tpu.data.batch import ConnectomeBatch
+from connectome_gnn_tpu.parallel.shard_forward import apply_global_update
 
 
 def stack_batches(batches: Sequence[ConnectomeBatch]) -> ConnectomeBatch:
@@ -91,18 +92,9 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, axis_name: str = "data"):
         (local_sum, (new_state, local_n)), grads = jax.value_and_grad(
             loss_sum_fn, has_aux=True
         )(params)
-
-        # Under shard_map's varying-manual-axes autodiff, the cotangent of a
-        # replicated (axis-invariant) input is automatically psummed across
-        # the axis, so ``grads`` is already the GLOBAL gradient of the
-        # summed loss — an explicit psum here would double-count.  Only the
-        # global-count normalization remains.
-        n = jnp.maximum(jax.lax.psum(local_n, axis_name), 1.0)
-        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
-        loss = jax.lax.psum(local_sum, axis_name) / n
-
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        new_params, new_opt_state, loss, n = apply_global_update(
+            optimizer, axis_name, params, opt_state, local_sum, local_n, grads
+        )
         # BN state was psummed inside apply → already replicated.
         return new_params, new_state, new_opt_state, loss, n
 

@@ -39,14 +39,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from connectome_gnn_tpu.data.batch import round_up
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
-from connectome_gnn_tpu.models.layers import gcn_layer_init
-from connectome_gnn_tpu.nn.layers import (
-    batch_norm_apply,
-    batch_norm_init,
-    dense_apply,
-    dense_init,
-    dropout,
+from connectome_gnn_tpu.models.node_gcn import init_node_gcn_params
+from connectome_gnn_tpu.parallel.shard_forward import (
+    ShardMapForwardMixin,
+    apply_global_update,
 )
+from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply, dropout
 from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
 
 EPS = 1e-8
@@ -195,7 +193,7 @@ def partitioned_gcn_layer(
     return out + params["bias"]
 
 
-class EdgePartitionedGCN:
+class EdgePartitionedGCN(ShardMapForwardMixin):
     """Node-level GCN over an edge-partitioned giant graph.
 
     Architecture: L partitioned GCN convolutions, each followed by
@@ -216,22 +214,11 @@ class EdgePartitionedGCN:
         self.num_classes = int(num_classes)
         self.num_layers = int(num_layers)
         self.dropout = float(dropout)
-        self._fwd_cache: dict = {}
 
     def init(self, key: jax.Array) -> tuple[dict, dict]:
-        dims = [self.in_channels] + [self.hidden_dim] * self.num_layers
-        keys = jax.random.split(key, self.num_layers + 1)
-        convs = [
-            gcn_layer_init(keys[i], dims[i], dims[i + 1])
-            for i in range(self.num_layers)
-        ]
-        norm_params, norm_states = zip(
-            *(batch_norm_init(self.hidden_dim) for _ in range(self.num_layers))
-        )
-        head = dense_init(keys[-1], self.hidden_dim, self.num_classes)
-        return (
-            {"convs": convs, "norms": list(norm_params), "head": head},
-            {"norms": list(norm_states)},
+        return init_node_gcn_params(
+            key, self.in_channels, self.hidden_dim, self.num_classes,
+            self.num_layers,
         )
 
     def apply_shard(
@@ -280,48 +267,6 @@ class EdgePartitionedGCN:
         logits = dense_apply(params["head"], x)
         return logits, {"norms": new_norms}
 
-    def forward(
-        self,
-        params: dict,
-        state: dict,
-        pgraph: PartitionedGraph,
-        mesh: Mesh,
-        *,
-        axis_name: str = "edge",
-        train: bool = False,
-        rng: Optional[jax.Array] = None,
-    ) -> jnp.ndarray:
-        """Jitted shard_map forward over the full partitioned graph.
-
-        Returns node logits ``[D, P_local, C]`` (sharded over the mesh).
-        The compiled function is cached per (mesh, axis, train) so repeated
-        calls do not retrace.
-        """
-        model = self
-        cache_key = (mesh, axis_name, train)
-        _fwd = self._fwd_cache.get(cache_key)
-        if _fwd is None:
-
-            @jax.jit
-            @partial(
-                jax.shard_map,
-                mesh=mesh,
-                in_specs=(P(), P(), P(), P(axis_name)),
-                out_specs=P(axis_name),
-            )
-            def _fwd(params, state, rng, stacked):
-                shard = jax.tree_util.tree_map(lambda a: a[0], stacked)
-                logits, _ = model.apply_shard(
-                    params, state, shard, axis_name=axis_name, train=train, rng=rng
-                )
-                return logits[None]
-
-            self._fwd_cache[cache_key] = _fwd
-
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        return _fwd(params, state, rng, pgraph)
-
 
 def make_partitioned_train_step(
     model: EdgePartitionedGCN,
@@ -353,20 +298,18 @@ def make_partitioned_train_step(
             logits, new_state = model.apply_shard(
                 p, state, shard, axis_name=axis_name, train=True, rng=step_key
             )
-            ce = jax.nn.log_softmax(logits)
-            ce = -jnp.take_along_axis(ce, shard.labels[:, None], axis=1)[:, 0]
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, shard.labels
+            )
             mask = shard.label_mask.astype(jnp.float32)
             return jnp.sum(ce * mask), (new_state, jnp.sum(mask))
 
         (local_sum, (new_state, local_n)), grads = jax.value_and_grad(
             loss_sum_fn, has_aux=True
         )(params)
-        n = jnp.maximum(jax.lax.psum(local_n, axis_name), 1.0)
-        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
-        loss = jax.lax.psum(local_sum, axis_name) / n
-
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        new_params, new_opt_state, loss, n = apply_global_update(
+            optimizer, axis_name, params, opt_state, local_sum, local_n, grads
+        )
         return new_params, new_state, new_opt_state, loss, n
 
     return jax.jit(_step)

@@ -260,3 +260,17 @@ class TestIO:
             assert np.array_equal(a.edge_index, b.edge_index)
             assert a.label == b.label
             assert a.subject_id == b.subject_id
+
+
+class TestToDevice:
+    def test_to_device_roundtrip(self):
+        import jax
+        from connectome_gnn_tpu.data import to_device
+
+        graphs = [make_simple_graph(seed=s) for s in range(2)]
+        batch = collate_graphs(graphs)
+        moved = to_device(batch, jax.devices()[0])
+        assert moved.num_graphs == batch.num_graphs
+        np.testing.assert_allclose(
+            np.asarray(moved.node_features), np.asarray(batch.node_features)
+        )
