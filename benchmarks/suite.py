@@ -269,6 +269,53 @@ def bench_spmm_banded(num_nodes=65_536, avg_degree=16, band_nodes=512,
     }
 
 
+def bench_spmm_hybrid(num_nodes=65_536, avg_degree=16, band_nodes=512,
+                      shortcut_frac=0.1, feat=64, block=128, iters=20):
+    """Config 5 (realistic locality): hybrid band+remainder SpMM edges/s.
+
+    90% of edges live in a ±``band_nodes`` band (spatial bulk), 10% are
+    uniform long-range shortcuts (small-world) — pure banding rejects this
+    graph; the hybrid routes the bulk through the MXU and only the
+    shortcuts through scatter.
+    """
+    rng = np.random.default_rng(0)
+    num_edges = num_nodes * avg_degree
+    receivers = np.repeat(np.arange(num_nodes), avg_degree)
+    local = np.clip(
+        receivers + rng.integers(-band_nodes, band_nodes + 1, num_edges),
+        0, num_nodes - 1,
+    )
+    random_far = rng.integers(0, num_nodes, num_edges)
+    senders = np.where(rng.random(num_edges) < shortcut_frac, random_far, local)
+    weights = rng.random(num_edges).astype(np.float32)
+    x = rng.standard_normal((num_nodes, feat)).astype(np.float32)
+
+    from connectome_gnn_tpu.ops.banded import hybrid_spmm, to_hybrid
+
+    h = to_hybrid(senders.astype(np.int32), receivers.astype(np.int32),
+                  weights, num_nodes, block=block,
+                  bandwidth=-(-band_nodes // block))
+    rem = int((np.asarray(h.remainder_weights) > 0).sum())
+
+    def spmm(v, band, rs, rr, rw):
+        h2 = h._replace(band=h.band._replace(band=band),
+                        remainder_senders=rs, remainder_receivers=rr,
+                        remainder_weights=rw)
+        return hybrid_spmm(h2, v)
+
+    dt = chained_loop_time(
+        spmm, jnp.asarray(x), iters,
+        h.band.band, h.remainder_senders, h.remainder_receivers,
+        h.remainder_weights,
+    )
+    return {
+        "us_per_spmm": dt * 1e6,
+        "edges_per_s": num_edges / dt,
+        "remainder_edges": rem,
+        "num_edges": num_edges,
+    }
+
+
 def bench_train_step(iters=100):
     """Training throughput: GCN fwd+bwd+Adam at bs=512 (dense layout)."""
     from connectome_gnn_tpu.data import collate_dense, generate_dataset
@@ -347,6 +394,8 @@ BENCHES = {
           bench_spmm_giant),
     "5b": ("banded block-dense SpMM, 65k nodes / 1.0M edges (±512 band), F=64",
            bench_spmm_banded),
+    "5c": ("hybrid band+remainder SpMM, 65k nodes / 1.0M edges (90% local), F=64",
+           bench_spmm_hybrid),
     "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
           bench_train_step),
 }
@@ -360,7 +409,7 @@ def _sage():
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5,5b,T")
+    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,T")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 

@@ -30,8 +30,11 @@ from connectome_gnn_tpu.nn.layers import (
 )
 from connectome_gnn_tpu.ops.banded import (
     BandedMatrix,
+    HybridMatrix,
     banded_spmm,
     gcn_normalize_banded,
+    gcn_normalize_hybrid,
+    hybrid_spmm,
 )
 
 
@@ -95,13 +98,23 @@ class BandedNodeGCN:
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, dict]:
-        """Per-node logits ``[num_nodes, C]`` plus updated BN state."""
+        """Per-node logits ``[num_nodes, C]`` plus updated BN state.
+
+        ``adjacency`` may be a :class:`BandedMatrix` (pure band) or a
+        :class:`HybridMatrix` (band + sparse remainder, for graphs with
+        long-range shortcuts) — identical numerics either way.
+        """
         n = adjacency.num_nodes
         if node_mask is None:
             node_mask = jnp.ones((n,), bool)
 
         # Normalization is layer-invariant; XLA CSEs the recomputation.
-        band_norm, dinv = gcn_normalize_banded(adjacency)
+        if isinstance(adjacency, HybridMatrix):
+            adj_norm, dinv = gcn_normalize_hybrid(adjacency)
+            spmm = hybrid_spmm
+        else:
+            adj_norm, dinv = gcn_normalize_banded(adjacency)
+            spmm = banded_spmm
         self_norm = (dinv * dinv)[:n, None]
 
         h = x[:n]
@@ -117,7 +130,7 @@ class BandedNodeGCN:
                 preferred_element_type=jnp.float32,
             )
             h = (
-                banded_spmm(band_norm, hw)
+                spmm(adj_norm, hw)
                 + self_norm * hw
                 + params["convs"][i]["bias"]
             )

@@ -12,9 +12,13 @@ Interchangeable implementations of the aggregation kernels:
 
 from connectome_gnn_tpu.ops.banded import (
     BandedMatrix,
+    HybridMatrix,
     banded_spmm,
     gcn_normalize_banded,
+    gcn_normalize_hybrid,
+    hybrid_spmm,
     to_banded,
+    to_hybrid,
 )
 from connectome_gnn_tpu.ops.fused_pallas import fused_gcn_forward, fused_sage_forward, gcn_forward_auto
 from connectome_gnn_tpu.ops.gcn_norm import GCNNorm, gcn_normalize
@@ -28,6 +32,7 @@ from connectome_gnn_tpu.ops.segment import (
 
 __all__ = [
     "BandedMatrix",
+    "HybridMatrix",
     "GCNNorm",
     "banded_spmm",
     "coo_spmm",
@@ -36,9 +41,12 @@ __all__ = [
     "gcn_forward_auto",
     "gcn_normalize",
     "gcn_normalize_banded",
+    "gcn_normalize_hybrid",
+    "hybrid_spmm",
     "graph_mean_pool",
     "sddmm",
     "segment_mean",
     "segment_sum",
     "to_banded",
+    "to_hybrid",
 ]

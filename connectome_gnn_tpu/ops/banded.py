@@ -172,3 +172,137 @@ def gcn_normalize_banded(
 
     band_norm = dinv_rows * a.band * dinv_cols
     return BandedMatrix(band_norm, a.num_nodes, W), dinv
+
+
+class HybridMatrix(NamedTuple):
+    """Band + sparse-remainder decomposition of a sparse matrix.
+
+    Real graphs are rarely *purely* bandable: small-world connectomes keep
+    a few long-range shortcuts even after RCM reordering.  The hybrid form
+    routes the local bulk through the MXU banded path and only the
+    out-of-band remainder through the scatter path — recovering most of
+    the ~40× banded speedup on graphs where a pure band would be rejected
+    or enormous.
+
+    ``remainder_*`` are COO arrays padded to a static length (receiver-
+    sorted, padding ids one-past-the-end with weight 0, same conventions
+    as :class:`~connectome_gnn_tpu.data.batch.ConnectomeBatch`).
+    """
+
+    band: BandedMatrix
+    remainder_senders: jnp.ndarray
+    remainder_receivers: jnp.ndarray
+    remainder_weights: jnp.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.band.num_nodes
+
+
+def to_hybrid(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    num_nodes: int,
+    *,
+    block: int = 256,
+    bandwidth: int = 4,
+    edge_multiple: int = 128,
+) -> HybridMatrix:
+    """Split a COO edge list into a ±``bandwidth``-block band plus a
+    sparse remainder (host side).
+
+    Pick ``bandwidth`` so the band captures the local bulk; everything
+    farther from the diagonal lands in the remainder.  With
+    ``bandwidth=0`` the band holds only the diagonal blocks.
+    """
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    weights = np.asarray(weights, np.float32)
+
+    d = senders // block - receivers // block
+    in_band = np.abs(d) <= bandwidth
+    band = to_banded(
+        senders[in_band], receivers[in_band], weights[in_band], num_nodes,
+        block=block, bandwidth=bandwidth,
+    )
+
+    rem_s = senders[~in_band]
+    rem_r = receivers[~in_band]
+    rem_w = weights[~in_band]
+    order = np.argsort(rem_r, kind="stable")
+    e = rem_s.shape[0]
+    padded = band.num_blocks * block
+    cap = round_up(max(e, 1), edge_multiple)
+    out_s = np.full(cap, padded, np.int32)
+    out_r = np.full(cap, padded, np.int32)
+    out_w = np.zeros(cap, np.float32)
+    out_s[:e] = rem_s[order]
+    out_r[:e] = rem_r[order]
+    out_w[:e] = rem_w[order]
+    return HybridMatrix(
+        band, jnp.asarray(out_s), jnp.asarray(out_r), jnp.asarray(out_w)
+    )
+
+
+def hybrid_spmm(a: HybridMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """``A @ x`` for the hybrid form: banded MXU bulk + scatter remainder."""
+    from connectome_gnn_tpu.ops.segment import coo_spmm
+
+    out = banded_spmm(a.band, x)
+    rem = coo_spmm(
+        a.remainder_weights,
+        a.remainder_senders,
+        a.remainder_receivers,
+        x[: a.num_nodes],
+        a.num_nodes,
+        indices_are_sorted=True,
+    )
+    return out + rem
+
+
+def hybrid_sender_degree(a: HybridMatrix) -> jnp.ndarray:
+    """Weighted sender degrees over band + remainder, ``[padded]``."""
+    deg = banded_sender_degree(a.band)
+    padded = deg.shape[0]
+    deg_rem = jax.ops.segment_sum(
+        a.remainder_weights, a.remainder_senders, num_segments=padded
+    )
+    return deg + deg_rem
+
+
+def gcn_normalize_hybrid(
+    a: HybridMatrix, *, self_loop_weight: float = 1.0, eps: float = 1e-8
+) -> tuple["HybridMatrix", jnp.ndarray]:
+    """Symmetric GCN normalization of a hybrid adjacency.
+
+    Same math as the COO/banded variants: sender degrees (+ self-loop)
+    over BOTH parts, ``(deg + 1e-8)^-0.5``, per-entry rescale.
+    """
+    band = a.band
+    block, nb, W = band.block, band.num_blocks, band.bandwidth
+    deg = hybrid_sender_degree(a) + self_loop_weight
+    dinv = jax.lax.rsqrt(deg + eps)  # [padded]
+
+    dinv_rows = dinv.reshape(nb, 1, block, 1)
+    dinv_pad = jnp.concatenate(
+        [jnp.zeros((W * block,), dinv.dtype), dinv,
+         jnp.zeros((W * block,), dinv.dtype)]
+    ).reshape(nb + 2 * W, block)
+    idx = jnp.arange(nb)[:, None] + jnp.arange(2 * W + 1)[None, :]
+    dinv_cols = jnp.take(dinv_pad, idx, axis=0)[:, :, None, :]
+    band_norm = BandedMatrix(
+        dinv_rows * band.band * dinv_cols, band.num_nodes, W
+    )
+
+    # padded remainder ids point one-past-the-end; clamp for the gather
+    # (their weight is 0, so the value is irrelevant)
+    safe_s = jnp.minimum(a.remainder_senders, deg.shape[0] - 1)
+    safe_r = jnp.minimum(a.remainder_receivers, deg.shape[0] - 1)
+    rem_norm = dinv[safe_r] * a.remainder_weights * dinv[safe_s]
+    return (
+        HybridMatrix(
+            band_norm, a.remainder_senders, a.remainder_receivers, rem_norm
+        ),
+        dinv,
+    )

@@ -205,3 +205,71 @@ class TestShardedBandedGCN:
         x = np.zeros((128, 5), np.float32)
         with pytest.raises(ValueError, match="bandwidth"):
             partition_banded(a, x, 8)
+
+
+class TestHybrid:
+    def test_hybrid_spmm_matches_coo(self):
+        """Small-world graph (shortcuts!) — the case pure banding rejects."""
+        from connectome_gnn_tpu.ops import hybrid_spmm, to_hybrid
+
+        g = generate_connectome(num_regions=200, k=10, seed=17)
+        x = np.random.default_rng(0).standard_normal((200, 8)).astype(np.float32)
+        h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight, 200,
+                      block=32, bandwidth=2)
+        out = hybrid_spmm(h, jnp.asarray(x))
+
+        order = np.argsort(g.edge_index[1], kind="stable")
+        expected = coo_spmm(
+            jnp.asarray(g.edge_weight[order]),
+            jnp.asarray(g.edge_index[0][order]),
+            jnp.asarray(g.edge_index[1][order]),
+            jnp.asarray(x), 200,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[:200], np.asarray(expected), rtol=1e-4, atol=1e-4
+        )
+
+    def test_edge_conservation(self):
+        from connectome_gnn_tpu.ops import to_hybrid
+
+        g = generate_connectome(num_regions=150, seed=18)
+        h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight, 150,
+                      block=32, bandwidth=1)
+        total = float(np.asarray(h.band.band).sum()) + float(
+            np.asarray(h.remainder_weights).sum()
+        )
+        assert np.isclose(total, g.edge_weight.sum(), rtol=1e-5)
+        # the band captures the local bulk
+        assert np.asarray(h.band.band).sum() > 0
+        assert (np.asarray(h.remainder_weights) > 0).any()
+
+    def test_node_gcn_on_hybrid_matches_coo_oracle(self):
+        import jax
+        from connectome_gnn_tpu.models.layers import gcn_layer_apply
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+        from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply
+        from connectome_gnn_tpu.ops import to_hybrid
+
+        g = generate_connectome(num_regions=160, k=8, seed=19)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32, bandwidth=1)
+        logits, _ = model.apply(params, state, h, jnp.asarray(g.node_features))
+
+        order = np.argsort(g.edge_index[1], kind="stable")
+        senders = jnp.asarray(g.edge_index[0][order])
+        receivers = jnp.asarray(g.edge_index[1][order])
+        weights = jnp.asarray(g.edge_weight[order])
+        z = jnp.asarray(g.node_features)
+        mask = jnp.ones((g.num_nodes,), bool)
+        for i in range(2):
+            z = gcn_layer_apply(params["convs"][i], z, senders, receivers, weights)
+            z, _ = batch_norm_apply(
+                params["norms"][i], state["norms"][i], z, mask, train=False
+            )
+            z = jax.nn.relu(z)
+        expected = dense_apply(params["head"], z)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(expected), rtol=1e-3, atol=1e-4
+        )
