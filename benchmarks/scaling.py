@@ -38,9 +38,26 @@ def sync(value) -> float:
     return float(jnp.sum(value))
 
 
-def bench_dp(devices, graphs_per_shard=32, steps=20):
+def _timed_pair(make, args, iters):
+    """Full-vs-quarter-length on-device loops, value-fetch synced."""
+    k_small = max(iters // 4, 1)
+    c_full, c_small = make(iters), make(k_small)
+    sync(c_full(*args))
+    sync(c_small(*args))
+
+    def timed(c):
+        t0 = time.perf_counter()
+        sync(c(*args))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(c_small) for _ in range(2))
+    t_full = min(timed(c_full) for _ in range(2))
+    return max(t_full - t_small, 1e-12) / (iters - k_small)
+
+
+def bench_dp(devices, graphs_per_shard=32, iters=20):
     import jax
-    import numpy as np
+    import jax.numpy as jnp
     import optax
 
     from connectome_gnn_tpu.data import ConnectomeDataLoader, generate_dataset
@@ -64,16 +81,28 @@ def bench_dp(devices, graphs_per_shard=32, steps=20):
         opt_state = opt.init(params)
         step = make_dp_train_step(model, opt, mesh)
 
-        # warmup + timed loop (value-fetch sync; see suite.py methodology)
-        key = jax.random.PRNGKey(1)
-        p, s, o = params, state, opt_state
-        p, s, o, loss, _ = step(p, s, o, key, stacked)
-        sync(loss)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            p, s, o, loss, _ = step(p, s, o, key, stacked)
-        sync(loss)
-        dt = (time.perf_counter() - t0) / steps
+        # chain steps on-device (params carry creates the dependence);
+        # timing per the suite methodology (fetch sync + differencing)
+        def make(k, step=step, params=params, state=state, opt_state=opt_state,
+                 stacked=stacked):
+            def looped(params, state, opt_state, stacked):
+                def body(i, carry):
+                    p, s, o = carry
+                    p, s, o, _, _ = step(p, s, o, jax.random.PRNGKey(0), stacked)
+                    return (p, s, o)
+
+                p, _, _ = jax.lax.fori_loop(
+                    0, k, body, (params, state, opt_state)
+                )
+                return jnp.sum(p["head"]["fc2"]["bias"])
+
+            return (
+                jax.jit(looped)
+                .lower(params, state, opt_state, stacked)
+                .compile()
+            )
+
+        dt = _timed_pair(make, (params, state, opt_state, stacked), iters)
         results[d] = {
             "graphs_per_s": batch_size / dt,
             "per_device": batch_size / dt / d,
@@ -86,12 +115,15 @@ def bench_dp(devices, graphs_per_shard=32, steps=20):
     return results
 
 
-def bench_banded(devices, nodes_per_shard=16384, band=512, steps=10):
+def bench_banded(devices, nodes_per_shard=16384, band=512, iters=10):
+    import dataclasses
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
-    import numpy as np
+    from jax.sharding import PartitionSpec as P
 
-    from connectome_gnn_tpu.models import BandedNodeGCN
+    from connectome_gnn_tpu.data import generate_spatial_graph
     from connectome_gnn_tpu.ops import to_banded
     from connectome_gnn_tpu.parallel import (
         ShardedBandedGCN,
@@ -103,32 +135,47 @@ def bench_banded(devices, nodes_per_shard=16384, band=512, steps=10):
     d = 1
     while d <= len(devices):
         n = nodes_per_shard * d
-        rng = np.random.default_rng(0)
-        deg = 12
-        receivers = np.repeat(np.arange(n), deg)
-        senders = np.clip(
-            receivers + rng.integers(-band, band + 1, receivers.shape[0]), 0, n - 1
-        )
-        weights = rng.random(receivers.shape[0]).astype(np.float32)
-        x = rng.standard_normal((n, 5)).astype(np.float32)
-        a = to_banded(senders.astype(np.int32), receivers.astype(np.int32),
-                      weights, n, block=128)
-        edges = receivers.shape[0]
+        g = generate_spatial_graph(n, degree=12, band=band, seed=0)
+        edges = g.num_edges
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight, n,
+                      block=128)
 
         model = ShardedBandedGCN(in_channels=5, hidden_dim=64, num_layers=3)
         params, state = model.init(jax.random.PRNGKey(0))
         mesh = create_mesh(shape=(d,), axis_names=("edge",), devices=devices[:d])
-        pb = partition_banded(a, x, d)
+        pb = partition_banded(a, g.node_features, d)
 
-        out = model.forward(params, state, pb, mesh)
-        sync(out)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = model.forward(params, state, pb, mesh)
-        sync(out)
-        dt = (time.perf_counter() - t0) / steps
+        def make(k, model=model, mesh=mesh, params=params, state=state, pb=pb):
+            @jax.jit
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P("edge")),
+                out_specs=P(),
+            )
+            def looped(params, state, stacked):
+                shard = jax.tree_util.tree_map(lambda x: x[0], stacked)
+
+                def body(_, v):
+                    s2 = dataclasses.replace(shard, node_features=v)
+                    logits, _ = model.apply_shard(
+                        params, state, s2, axis_name="edge"
+                    )
+                    # nonlinear scalar feedback chains iterations without
+                    # changing shapes (logit width != feature width)
+                    scale = 1.0 + 1e-6 * jnp.tanh(jnp.mean(logits))
+                    return v * scale
+
+                out = jax.lax.fori_loop(0, k, body, shard.node_features)
+                return jax.lax.psum(jnp.sum(out), "edge")
+
+            return jax.jit(
+                lambda p, s, b: looped(p, s, b)
+            ).lower(params, state, pb).compile()
+
+        dt = _timed_pair(make, (params, state, pb), iters)
         results[d] = {
-            "edges_per_s": 3 * edges / dt,  # 3 layers of aggregation
+            "edges_per_s": 3 * edges / dt,
             "per_device": 3 * edges / dt / d,
         }
         d *= 2

@@ -241,18 +241,15 @@ def bench_spmm_banded(num_nodes=65_536, avg_degree=16, band_nodes=512,
     ordering, edges live in a ±``band_nodes`` index band, so SpMM becomes
     batched dense matmuls on the MXU (see ops/banded.py).
     """
-    rng = np.random.default_rng(0)
-    num_edges = num_nodes * avg_degree
-    receivers = np.repeat(np.arange(num_nodes), avg_degree)
-    offsets = rng.integers(-band_nodes, band_nodes + 1, num_edges)
-    senders = np.clip(receivers + offsets, 0, num_nodes - 1)
-    weights = rng.random(num_edges).astype(np.float32)
-    x = rng.standard_normal((num_nodes, feat)).astype(np.float32)
-
+    from connectome_gnn_tpu.data import generate_spatial_graph
     from connectome_gnn_tpu.ops.banded import banded_spmm, to_banded
 
-    a = to_banded(senders.astype(np.int32), receivers.astype(np.int32),
-                  weights, num_nodes, block=block)
+    g = generate_spatial_graph(num_nodes, degree=avg_degree, band=band_nodes,
+                               num_features=feat, seed=0)
+    num_edges = g.num_edges
+    x = g.node_features
+    a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                  num_nodes, block=block)
 
     from connectome_gnn_tpu.ops.banded import banded_spmm as _spmm
 
@@ -278,23 +275,16 @@ def bench_spmm_hybrid(num_nodes=65_536, avg_degree=16, band_nodes=512,
     graph; the hybrid routes the bulk through the MXU and only the
     shortcuts through scatter.
     """
-    rng = np.random.default_rng(0)
-    num_edges = num_nodes * avg_degree
-    receivers = np.repeat(np.arange(num_nodes), avg_degree)
-    local = np.clip(
-        receivers + rng.integers(-band_nodes, band_nodes + 1, num_edges),
-        0, num_nodes - 1,
-    )
-    random_far = rng.integers(0, num_nodes, num_edges)
-    senders = np.where(rng.random(num_edges) < shortcut_frac, random_far, local)
-    weights = rng.random(num_edges).astype(np.float32)
-    x = rng.standard_normal((num_nodes, feat)).astype(np.float32)
-
+    from connectome_gnn_tpu.data import generate_spatial_graph
     from connectome_gnn_tpu.ops.banded import hybrid_spmm, to_hybrid
 
-    h = to_hybrid(senders.astype(np.int32), receivers.astype(np.int32),
-                  weights, num_nodes, block=block,
-                  bandwidth=-(-band_nodes // block))
+    g = generate_spatial_graph(num_nodes, degree=avg_degree, band=band_nodes,
+                               num_features=feat, seed=0,
+                               shortcut_frac=shortcut_frac)
+    num_edges = g.num_edges
+    x = g.node_features
+    h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                  num_nodes, block=block, bandwidth=-(-band_nodes // block))
     rem = int((np.asarray(h.remainder_weights) > 0).sum())
 
     def spmm(v, band, rs, rr, rw):

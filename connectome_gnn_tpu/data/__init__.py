@@ -12,6 +12,7 @@ from connectome_gnn_tpu.data.synthetic import (
     TRAIT_NAMES,
     generate_connectome,
     generate_dataset,
+    generate_spatial_graph,
     small_world_stats,
 )
 
@@ -33,6 +34,7 @@ __all__ = [
     "sample_subgraph",
     "generate_connectome",
     "generate_dataset",
+    "generate_spatial_graph",
     "round_up",
     "small_world_stats",
     "to_device",

@@ -114,6 +114,12 @@ class ConnectomeBatch:
         """COO [2, Q] view, mirroring the reference field layout."""
         return jnp.stack([self.senders, self.receivers], axis=0)
 
+    @property
+    def graph_mask(self) -> jnp.ndarray:
+        """bool [B]: True for real graph slots (labeled or not) — real
+        graphs always contain at least one node, padded slots none."""
+        return jnp.diff(self.ptr) > 0
+
 
 def collate_graphs(
     graphs: Sequence[ConnectomeGraph],

@@ -63,6 +63,11 @@ class DenseConnectomeBatch:
     def num_features(self) -> int:
         return int(self.node_features.shape[2])
 
+    @property
+    def graph_mask(self) -> jnp.ndarray:
+        """bool [B]: True for real graph slots (labeled or not)."""
+        return jnp.any(self.node_mask, axis=-1)
+
 
 def collate_dense(
     graphs: Sequence[ConnectomeGraph],

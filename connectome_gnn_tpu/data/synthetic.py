@@ -39,6 +39,7 @@ __all__ = [
     "TRAIT_NAMES",
     "generate_connectome",
     "generate_dataset",
+    "generate_spatial_graph",
     "small_world_stats",
 ]
 
@@ -298,3 +299,39 @@ def small_world_stats(graphs: list[ConnectomeGraph]) -> dict:
         "mean_avg_path_length": float(np.nanmean(avg_path_vals)),
         "num_graphs": len(graphs),
     }
+
+
+def generate_spatial_graph(
+    num_nodes: int,
+    degree: int = 12,
+    band: int = 256,
+    num_features: int = 5,
+    seed: int = 0,
+    shortcut_frac: float = 0.0,
+) -> ConnectomeGraph:
+    """Synthesize a spatially-local giant graph (voxel-like locality).
+
+    Each node receives ``degree`` edges from senders within ``±band`` index
+    positions (clipped at the boundary), with Beta(2, 5) weights and
+    standard-normal features — the synthetic stand-in for voxel-level
+    connectomes in the giant-graph benchmarks and demos.
+    ``shortcut_frac`` rewires that fraction of edges to uniform random
+    senders (small-world shortcuts) for the hybrid band+remainder regime.
+    """
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * degree
+    receivers = np.repeat(np.arange(num_nodes), degree)
+    senders = np.clip(
+        receivers + rng.integers(-band, band + 1, num_edges), 0, num_nodes - 1
+    )
+    if shortcut_frac > 0:
+        far = rng.integers(0, num_nodes, num_edges)
+        senders = np.where(rng.random(num_edges) < shortcut_frac, far, senders)
+    return ConnectomeGraph(
+        node_features=rng.standard_normal((num_nodes, num_features)).astype(
+            np.float32
+        ),
+        edge_index=np.stack([senders, receivers]).astype(np.int32),
+        edge_weight=rng.beta(2, 5, num_edges).astype(np.float32),
+        subject_id=f"spatial-{num_nodes}",
+    )

@@ -148,6 +148,23 @@ def banded_sender_degree(a: BandedMatrix) -> jnp.ndarray:
     return deg_blocks[W : W + nb].reshape(nb * block)
 
 
+def _scale_band(a: BandedMatrix, dinv: jnp.ndarray) -> BandedMatrix:
+    """Rescale band entries by ``dinv[receiver] · w · dinv[sender]``.
+
+    The sender side needs ``dinv`` shifted through the same halo-window
+    indexing the SpMM uses (zero outside the padded range).
+    """
+    block, nb, W = a.block, a.num_blocks, a.bandwidth
+    dinv_rows = dinv.reshape(nb, 1, block, 1)  # receiver side
+    dinv_pad = jnp.concatenate(
+        [jnp.zeros((W * block,), dinv.dtype), dinv,
+         jnp.zeros((W * block,), dinv.dtype)]
+    ).reshape(nb + 2 * W, block)
+    idx = jnp.arange(nb)[:, None] + jnp.arange(2 * W + 1)[None, :]
+    dinv_cols = jnp.take(dinv_pad, idx, axis=0)[:, :, None, :]  # sender side
+    return BandedMatrix(dinv_rows * a.band * dinv_cols, a.num_nodes, W)
+
+
 def gcn_normalize_banded(
     a: BandedMatrix, *, self_loop_weight: float = 1.0, eps: float = 1e-8
 ) -> tuple[BandedMatrix, jnp.ndarray]:
@@ -158,20 +175,9 @@ def gcn_normalize_banded(
     self-loop weight, ``(deg + 1e-8)^-0.5``).  Padded node slots get
     ``deg = self_loop_weight`` and stay inert (their features are zero).
     """
-    block, nb, W = a.block, a.num_blocks, a.bandwidth
     deg = banded_sender_degree(a) + self_loop_weight
     dinv = jax.lax.rsqrt(deg + eps)  # [padded]
-
-    dinv_rows = dinv.reshape(nb, 1, block, 1)  # receiver side
-    dinv_pad = jnp.concatenate(
-        [jnp.full((W * block,), 0.0, dinv.dtype), dinv,
-         jnp.full((W * block,), 0.0, dinv.dtype)]
-    ).reshape(nb + 2 * W, block)
-    idx = jnp.arange(nb)[:, None] + jnp.arange(2 * W + 1)[None, :]
-    dinv_cols = jnp.take(dinv_pad, idx, axis=0)[:, :, None, :]  # sender side
-
-    band_norm = dinv_rows * a.band * dinv_cols
-    return BandedMatrix(band_norm, a.num_nodes, W), dinv
+    return _scale_band(a, dinv), dinv
 
 
 class HybridMatrix(NamedTuple):
@@ -279,21 +285,9 @@ def gcn_normalize_hybrid(
     Same math as the COO/banded variants: sender degrees (+ self-loop)
     over BOTH parts, ``(deg + 1e-8)^-0.5``, per-entry rescale.
     """
-    band = a.band
-    block, nb, W = band.block, band.num_blocks, band.bandwidth
     deg = hybrid_sender_degree(a) + self_loop_weight
     dinv = jax.lax.rsqrt(deg + eps)  # [padded]
-
-    dinv_rows = dinv.reshape(nb, 1, block, 1)
-    dinv_pad = jnp.concatenate(
-        [jnp.zeros((W * block,), dinv.dtype), dinv,
-         jnp.zeros((W * block,), dinv.dtype)]
-    ).reshape(nb + 2 * W, block)
-    idx = jnp.arange(nb)[:, None] + jnp.arange(2 * W + 1)[None, :]
-    dinv_cols = jnp.take(dinv_pad, idx, axis=0)[:, :, None, :]
-    band_norm = BandedMatrix(
-        dinv_rows * band.band * dinv_cols, band.num_nodes, W
-    )
+    band_norm = _scale_band(a.band, dinv)
 
     # padded remainder ids point one-past-the-end; clamp for the gather
     # (their weight is 0, so the value is irrelevant)

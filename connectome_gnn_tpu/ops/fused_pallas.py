@@ -119,15 +119,27 @@ def _fused_gcn_kernel(
         )
 
 
-def fold_bn_affine(params: dict, state: dict, num_layers: int, eps: float = 1e-5):
-    """Fold conv bias + eval-mode BatchNorm into per-layer (scale, shift)."""
+def fold_bn_affine(
+    params: dict,
+    state: dict,
+    num_layers: int,
+    eps: float = 1e-5,
+    include_conv_bias: bool = True,
+):
+    """Fold eval-mode BatchNorm into per-layer (scale, shift).
+
+    With ``include_conv_bias`` the conv bias is folded in too (valid when
+    the bias is added *before* BN, as in GCN); SAGE's bias sits inside the
+    ReLU and must stay separate.
+    """
     scales, shifts = [], []
     for i in range(num_layers):
         bn_p = params["norms"][i]
         bn_s = state["norms"][i]
         inv = jax.lax.rsqrt(bn_s["var"] + eps)
         s = bn_p["scale"] * inv
-        t = (params["convs"][i]["bias"] - bn_s["mean"]) * s + bn_p["bias"]
+        pre = params["convs"][i]["bias"] if include_conv_bias else 0.0
+        t = (pre - bn_s["mean"]) * s + bn_p["bias"]
         scales.append(s)
         shifts.append(t)
     return jnp.stack(scales), jnp.stack(shifts)
@@ -360,14 +372,9 @@ def fused_sage_forward(
 
     # eval-BN affine (applied AFTER the in-layer ReLU; conv bias cannot be
     # folded through the nonlinearity, so it stays separate)
-    scales, shifts = [], []
-    for i in range(num_layers):
-        bn_p, bn_s = params["norms"][i], state["norms"][i]
-        s = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + 1e-5)
-        t = bn_p["bias"] - bn_s["mean"] * s
-        scales.append(s)
-        shifts.append(t)
-    bn_scale, bn_shift = jnp.stack(scales), jnp.stack(shifts)
+    bn_scale, bn_shift = fold_bn_affine(
+        params, state, num_layers, include_conv_bias=False
+    )
 
     k0 = params["convs"][0]["kernel"]  # [2F, H]
     w_self_in, w_agg_in = k0[:F], k0[F:]

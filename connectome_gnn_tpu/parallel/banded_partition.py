@@ -188,8 +188,8 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
         rng: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, dict]:
         """Forward for one shard — must run inside ``shard_map``."""
-        band = shard.band[0] if shard.band.ndim == 5 else shard.band
-        # local views (leading shard axis already dropped by caller)
+        # local view: the mixin drops the leading shard axis on every leaf
+        band = shard.band
         nb_local, dcount, block, _ = band.shape
         W = shard.bandwidth
         p_local = nb_local * block

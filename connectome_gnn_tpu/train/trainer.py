@@ -247,7 +247,9 @@ class Trainer:
             stacked = batch.label_mask.ndim == 2
             step = self._predict_step_stacked if stacked else self._predict_step
             logits = np.asarray(step(self.params, self.state, batch))
-            mask = np.asarray(batch.label_mask)
+            # real-graph mask, NOT label_mask: unlabeled graphs are the
+            # core serving case and must still get predictions
+            mask = np.asarray(batch.graph_mask)
             if stacked:  # [D, B, C] → flat
                 logits = logits.reshape(-1, logits.shape[-1])
                 mask = mask.reshape(-1)

@@ -41,7 +41,6 @@ def main() -> None:
     import numpy as np
     import optax
 
-    from connectome_gnn_tpu.data.graph import ConnectomeGraph
     from connectome_gnn_tpu.data.reorder import (
         apply_ordering,
         bandwidth,
@@ -57,24 +56,16 @@ def main() -> None:
     # ------------------------------------------------------------------
     n, deg, band = args.nodes, args.degree, args.band
     rng = np.random.default_rng(0)
-    receivers = np.repeat(np.arange(n), deg)
-    senders = np.clip(
-        receivers + rng.integers(-band, band + 1, receivers.shape[0]), 0, n - 1
-    )
-    weights = rng.beta(2, 5, receivers.shape[0]).astype(np.float32)
-    features = rng.standard_normal((n, 5)).astype(np.float32)
-    graph = ConnectomeGraph(
-        node_features=features,
-        edge_index=np.stack([senders, receivers]).astype(np.int32),
-        edge_weight=weights,
-        subject_id="voxel-demo",
-    )
+    from connectome_gnn_tpu.data import generate_spatial_graph
+
+    graph = generate_spatial_graph(n, degree=deg, band=band, seed=0)
     print(f"graph: {n:,} nodes, {graph.num_edges:,} edges, band ±{band}")
 
     # labels: a 2-hop-smoothing task (needs message passing to solve)
+    senders, receivers = graph.edge_index
     deg_w = graph.degree()
     smooth = np.zeros(n, np.float32)
-    np.add.at(smooth, receivers, deg_w[senders] * weights)
+    np.add.at(smooth, receivers, deg_w[senders] * graph.edge_weight)
     labels = (smooth > np.median(smooth)).astype(np.int32)
 
     # ------------------------------------------------------------------
@@ -153,6 +144,10 @@ def main() -> None:
     # 5. Same parameters through the halo-exchange sharded model
     # ------------------------------------------------------------------
     num_dev = len(jax.devices())
+    # halo exchange needs bandwidth <= blocks-per-shard; clamp the shard
+    # count for small graphs instead of crashing after training
+    max_shards = max(a.num_blocks // max(a.bandwidth, 1), 1)
+    num_dev = min(num_dev, max_shards)
     if num_dev > 1:
         from connectome_gnn_tpu.parallel import (
             ShardedBandedGCN,
@@ -160,7 +155,9 @@ def main() -> None:
             partition_banded,
         )
 
-        mesh = create_mesh(axis_names=("edge",))
+        mesh = create_mesh(
+            shape=(num_dev,), axis_names=("edge",), devices=jax.devices()[:num_dev]
+        )
         sharded = ShardedBandedGCN(in_channels=5, hidden_dim=64, num_layers=3)
         pb = partition_banded(a, recovered.node_features, num_dev)
         out = sharded.forward(params, state, pb, mesh)

@@ -149,3 +149,24 @@ class TestDPDenseLayout:
         assert all(np.isfinite(v) for v in history["train_loss"])
         metrics = trainer.evaluate(loader)
         assert metrics["total"] == 16
+
+
+class TestPredictUnlabeled:
+    def test_predict_includes_unlabeled_graphs(self):
+        """Serving: real-but-unlabeled graphs must still get predictions."""
+        graphs = generate_dataset(num_subjects=6, num_regions=20, seed=8)
+        for g in graphs[::2]:
+            g.label = None
+        loader = ConnectomeDataLoader(graphs, batch_size=4, shuffle=False)
+        trainer = make_trainer()
+        logits = trainer.predict(loader)
+        assert logits.shape == (6, 2)
+
+    def test_predict_fully_unlabeled_cohort(self):
+        graphs = generate_dataset(num_subjects=5, num_regions=20, seed=9)
+        for g in graphs:
+            g.label = None
+        loader = ConnectomeDataLoader(graphs, batch_size=4, shuffle=False)
+        trainer = make_trainer()
+        logits = trainer.predict(loader)
+        assert logits.shape == (5, 2)
