@@ -10,6 +10,7 @@ from connectome_gnn_tpu.parallel.banded_partition import (
     PartitionedBanded,
     ShardedBandedGCN,
     halo_exchange,
+    make_sharded_banded_train_step,
     partition_banded,
 )
 from connectome_gnn_tpu.parallel.edge_partition import (
@@ -32,6 +33,7 @@ __all__ = [
     "make_dp_eval_step",
     "make_dp_train_step",
     "make_partitioned_train_step",
+    "make_sharded_banded_train_step",
     "partition_graph",
     "partitioned_gcn_layer",
     "shard_batch",

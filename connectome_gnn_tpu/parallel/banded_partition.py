@@ -260,3 +260,56 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
             h = dropout(drop_keys[i], h, self.dropout, train=train)
         logits = dense_apply(params["head"], h)
         return logits, {"norms": new_norms}
+
+
+def make_sharded_banded_train_step(
+    model: ShardedBandedGCN,
+    optimizer,
+    mesh,
+    axis_name: str = "edge",
+):
+    """Jitted node-classification train step over a sharded banded graph.
+
+    Signature: ``(params, state, opt_state, step_key, pbanded) ->
+    (params, state, opt_state, loss, n_real)``.  Loss is the masked mean
+    cross-entropy over labeled nodes across all shards; gradient exactness
+    follows :func:`~connectome_gnn_tpu.parallel.shard_forward.apply_global_update`
+    (halo-exchange ppermutes and psums differentiate correctly under
+    shard_map's vma autodiff).
+    """
+    from functools import partial
+
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from connectome_gnn_tpu.parallel.shard_forward import apply_global_update
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def _step(params, state, opt_state, step_key, stacked):
+        shard = jax.tree_util.tree_map(lambda a: a[0], stacked)
+
+        def loss_sum_fn(p):
+            logits, new_state = model.apply_shard(
+                p, state, shard, axis_name=axis_name, train=True, rng=step_key
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, shard.labels
+            )
+            mask = shard.label_mask.astype(jnp.float32)
+            return jnp.sum(ce * mask), (new_state, jnp.sum(mask))
+
+        (local_sum, (new_state, local_n)), grads = jax.value_and_grad(
+            loss_sum_fn, has_aux=True
+        )(params)
+        new_params, new_opt_state, loss, n = apply_global_update(
+            optimizer, axis_name, params, opt_state, local_sum, local_n, grads
+        )
+        return new_params, new_state, new_opt_state, loss, n
+
+    return _step

@@ -273,3 +273,86 @@ class TestHybrid:
         np.testing.assert_allclose(
             np.asarray(logits), np.asarray(expected), rtol=1e-3, atol=1e-4
         )
+
+
+class TestShardedBandedTraining:
+    def _graph(self):
+        from connectome_gnn_tpu.data import generate_spatial_graph
+
+        g = generate_spatial_graph(768, degree=6, band=40, seed=23)
+        labels = (g.degree() > np.median(g.degree())).astype(np.int32)
+        return g, labels
+
+    def test_loss_decreases(self, cpu_devices):
+        import jax
+        import optax
+        from connectome_gnn_tpu.parallel import (
+            ShardedBandedGCN, create_mesh, make_sharded_banded_train_step,
+            partition_banded)
+
+        g, labels = self._graph()
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        model = ShardedBandedGCN(in_channels=5, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        mesh = create_mesh(axis_names=("edge",))
+        pb = partition_banded(a, g.node_features, 8, labels=labels)
+        opt = optax.adam(1e-2)
+        step = make_sharded_banded_train_step(model, opt, mesh)
+        opt_state = opt.init(params)
+        losses = []
+        for i in range(12):
+            params, state, opt_state, loss, n = step(
+                params, state, opt_state, jax.random.PRNGKey(i), pb
+            )
+            losses.append(float(loss))
+        assert int(n) == g.num_nodes
+        assert losses[-1] < losses[0]
+
+    def test_grads_match_single_device_oracle(self, cpu_devices):
+        """One sharded banded grad step == single-device BandedNodeGCN grad."""
+        import jax
+        import optax
+        from connectome_gnn_tpu.models import BandedNodeGCN
+        from connectome_gnn_tpu.parallel import (
+            ShardedBandedGCN, create_mesh, make_sharded_banded_train_step,
+            partition_banded)
+        from connectome_gnn_tpu.nn.layers import batch_norm_apply
+
+        g, labels = self._graph()
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        model = ShardedBandedGCN(in_channels=5, hidden_dim=16, num_layers=2,
+                                 dropout=0.0)
+        params, state = model.init(jax.random.PRNGKey(0))
+        mesh = create_mesh(axis_names=("edge",))
+        pb = partition_banded(a, g.node_features, 8, labels=labels)
+        opt = optax.sgd(1e-1)
+        step = make_sharded_banded_train_step(model, opt, mesh)
+        new_params, _, _, loss, _ = step(
+            params, state, opt.init(params), jax.random.PRNGKey(0), pb
+        )
+
+        # single-device oracle: BandedNodeGCN with train-mode BN
+        single = BandedNodeGCN(in_channels=5, hidden_dim=16, num_layers=2,
+                               dropout=0.0)
+        x = jnp.asarray(g.node_features)
+        y = jnp.asarray(labels)
+
+        def loss_fn(p):
+            logits, _ = single.apply(p, state, a, x, train=True)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.mean(ce)
+
+        oracle_loss, oracle_grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(loss), float(oracle_loss), rtol=1e-4)
+        expected = optax.apply_updates(
+            params, opt.update(oracle_grads, opt.init(params), params)[0]
+        )
+        for p_new, p_exp in zip(
+            jax.tree_util.tree_leaves(new_params),
+            jax.tree_util.tree_leaves(expected),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p_new), np.asarray(p_exp), rtol=1e-3, atol=1e-4
+            )
