@@ -162,3 +162,14 @@ class TestActivationParity:
                 rtol=1e-3,
                 atol=1e-5,
             )
+
+
+class TestTraitParity:
+    @pytest.mark.parametrize("trait_idx", [1, 2, 3, 4])
+    def test_other_traits_bitwise(self, trait_idx):
+        ref = ref_generate_connectome(seed=11, trait_idx=trait_idx)
+        mine = __import__(
+            "connectome_gnn_tpu.data.synthetic", fromlist=["generate_connectome"]
+        ).generate_connectome(seed=11, trait_idx=trait_idx)
+        assert np.array_equal(ref.edge_index.numpy(), mine.edge_index)
+        assert int(ref.label) == mine.label

@@ -48,3 +48,35 @@ class TestSampleSubgraph:
         sub, ids = sample_subgraph(graph, [5, 5, 5], fanout=[2],
                                    rng=np.random.default_rng(5))
         assert (ids == 5).sum() == 1
+
+
+class TestProfiling:
+    def test_trace_writes_profile(self, tmp_path):
+        import jax.numpy as jnp
+
+        from connectome_gnn_tpu.utils.profiling import StepTimer, trace
+
+        with trace(str(tmp_path)):
+            x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+            x.block_until_ready()
+        import os
+
+        produced = []
+        for root, _, files in os.walk(tmp_path):
+            produced += files
+        assert produced  # a trace artifact was written
+
+    def test_step_timer_summary(self):
+        from connectome_gnn_tpu.utils.profiling import StepTimer
+
+        t = StepTimer()
+        for _ in range(3):
+            t.tic()
+            t.toc()
+        s = t.summary()
+        assert s["steps"] == 3
+        assert s["total_s"] >= 0
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            t.toc()
