@@ -13,6 +13,7 @@ Interchangeable implementations of the aggregation kernels:
 from connectome_gnn_tpu.ops.banded import (
     BandedMatrix,
     HybridMatrix,
+    banded_block_diag,
     banded_spmm,
     gcn_normalize_banded,
     gcn_normalize_hybrid,
@@ -34,6 +35,7 @@ __all__ = [
     "BandedMatrix",
     "HybridMatrix",
     "GCNNorm",
+    "banded_block_diag",
     "banded_spmm",
     "coo_spmm",
     "fused_gcn_forward",

@@ -180,6 +180,36 @@ def gcn_normalize_banded(
     return _scale_band(a, dinv), dinv
 
 
+def banded_block_diag(parts) -> tuple[BandedMatrix, jnp.ndarray]:
+    """Block-diagonal concatenation of banded matrices (host/jit-safe).
+
+    Because out-of-range band entries are zero by construction, stacking
+    the per-part bands along the block-row axis IS the block-diagonal
+    matrix — part ``i``'s rows occupy its padded range and its boundary
+    blocks reference the neighboring part only through all-zero tiles.
+    This is the single-device equivalent of a multi-subject giant-graph
+    cohort (the 2-D combined-parallel oracle).
+
+    Returns ``(combined, node_valid_mask)``; the mask is False on each
+    part's internal padding rows (``num_nodes .. padded``), which callers
+    must also zero in the concatenated features.  All parts must share
+    ``block`` and ``bandwidth``.
+    """
+    blocks = {p.block for p in parts}
+    widths = {p.bandwidth for p in parts}
+    if len(blocks) != 1 or len(widths) != 1:
+        raise ValueError("banded_block_diag requires uniform block/bandwidth")
+    band = jnp.concatenate([p.band for p in parts], axis=0)
+    valid = jnp.concatenate(
+        [
+            jnp.arange(p.num_blocks * p.block) < p.num_nodes
+            for p in parts
+        ]
+    )
+    num_nodes = int(band.shape[0]) * int(band.shape[2])
+    return BandedMatrix(band, num_nodes, widths.pop()), valid
+
+
 class HybridMatrix(NamedTuple):
     """Band + sparse-remainder decomposition of a sparse matrix.
 

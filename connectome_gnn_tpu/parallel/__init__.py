@@ -10,8 +10,10 @@ from connectome_gnn_tpu.parallel.banded_partition import (
     PartitionedBanded,
     ShardedBandedGCN,
     halo_exchange,
+    make_banded_train_step_2d,
     make_sharded_banded_train_step,
     partition_banded,
+    stack_partitioned,
 )
 from connectome_gnn_tpu.parallel.edge_partition import (
     EdgePartitionedGCN,
@@ -33,7 +35,9 @@ __all__ = [
     "make_dp_eval_step",
     "make_dp_train_step",
     "make_partitioned_train_step",
+    "make_banded_train_step_2d",
     "make_sharded_banded_train_step",
+    "stack_partitioned",
     "partition_graph",
     "partitioned_gcn_layer",
     "shard_batch",

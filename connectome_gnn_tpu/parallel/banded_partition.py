@@ -184,10 +184,21 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
         shard: PartitionedBanded,
         *,
         axis_name: str,
+        stats_axes=None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, dict]:
-        """Forward for one shard — must run inside ``shard_map``."""
+        """Forward for one shard — must run inside ``shard_map``.
+
+        ``axis_name`` is the mesh axis the graph's row blocks are sharded
+        over (halo ppermutes ride it).  ``stats_axes`` — a mesh axis name or
+        tuple of them — controls which axes BatchNorm statistics psum over;
+        it defaults to ``axis_name`` and is widened to ``(data, edge)`` by
+        the 2-D combined-parallel step so batch statistics span every
+        subject on the mesh (sync-BN across both axes).
+        """
+        if stats_axes is None:
+            stats_axes = axis_name
         # local view: the mixin drops the leading shard axis on every leaf
         band = shard.band
         nb_local, dcount, block, _ = band.shape
@@ -225,7 +236,10 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
 
         new_norms = []
         if train and rng is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            for ax in (
+                stats_axes if isinstance(stats_axes, tuple) else (stats_axes,)
+            ):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
             drop_keys = jax.random.split(rng, self.num_layers)
         else:
             drop_keys = [None] * self.num_layers
@@ -253,7 +267,7 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
                 h,
                 mask,
                 train=train,
-                axis_name=axis_name,
+                axis_name=stats_axes,
             )
             new_norms.append(bn_state)
             h = jax.nn.relu(h)
@@ -309,6 +323,81 @@ def make_sharded_banded_train_step(
         )(params)
         new_params, new_opt_state, loss, n = apply_global_update(
             optimizer, axis_name, params, opt_state, local_sum, local_n, grads
+        )
+        return new_params, new_state, new_opt_state, loss, n
+
+    return _step
+
+
+def stack_partitioned(shards) -> PartitionedBanded:
+    """Stack per-subject :class:`PartitionedBanded` pytrees for a 2-D mesh.
+
+    Each input carries a leading edge-shard axis ``[De, ...]`` (from
+    :func:`partition_banded`); the result's leaves are ``[Dd, De, ...]``
+    ready for ``P(data_axis, edge_axis)`` placement.  All subjects must
+    share static shapes (same block/bandwidth/padded node count).
+    """
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
+
+
+def make_banded_train_step_2d(
+    model: ShardedBandedGCN,
+    optimizer,
+    mesh,
+    data_axis: str = "data",
+    edge_axis: str = "edge",
+):
+    """Combined data × edge parallelism over a 2-D mesh.
+
+    A cohort of giant banded graphs trains jointly: each mesh row (size
+    ``Dd``) owns a subset of subjects, and within a row each subject's row
+    blocks are sharded over the ``edge`` axis (size ``De``) with halo
+    ppermutes exactly as in the 1-D step.  BatchNorm statistics and the
+    loss normalization psum over BOTH axes, so the step is numerically
+    identical to single-device training on the block-diagonal
+    concatenation of the whole cohort
+    (:func:`connectome_gnn_tpu.ops.banded.banded_block_diag`) — the
+    gradient-oracle test in ``tests/test_mesh2d.py`` proves it.
+
+    Signature: ``(params, state, opt_state, step_key, stacked) ->
+    (params, state, opt_state, loss, n_real)`` where ``stacked`` comes
+    from :func:`stack_partitioned`.
+    """
+    from functools import partial
+
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from connectome_gnn_tpu.parallel.shard_forward import apply_global_update
+
+    axes = (data_axis, edge_axis)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(data_axis, edge_axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def _step(params, state, opt_state, step_key, stacked):
+        shard = jax.tree_util.tree_map(lambda a: a[0, 0], stacked)
+
+        def loss_sum_fn(p):
+            logits, new_state = model.apply_shard(
+                p, state, shard, axis_name=edge_axis, stats_axes=axes,
+                train=True, rng=step_key,
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, shard.labels
+            )
+            mask = shard.label_mask.astype(jnp.float32)
+            return jnp.sum(ce * mask), (new_state, jnp.sum(mask))
+
+        (local_sum, (new_state, local_n)), grads = jax.value_and_grad(
+            loss_sum_fn, has_aux=True
+        )(params)
+        new_params, new_opt_state, loss, n = apply_global_update(
+            optimizer, axes, params, opt_state, local_sum, local_n, grads
         )
         return new_params, new_state, new_opt_state, loss, n
 
