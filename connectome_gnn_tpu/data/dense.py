@@ -103,11 +103,16 @@ def collate_dense(
     labels = np.zeros(B, dtype=np.int32)
     label_mask = np.zeros(B, dtype=bool)
 
+    from connectome_gnn_tpu import native
+
     for b, g in enumerate(graphs):
         ng = g.num_nodes
         x[b, :ng] = g.node_features
         src, dst = g.edge_index
-        np.add.at(adj[b], (dst, src), g.edge_weight)  # receiver-major
+        if native.AVAILABLE:  # receiver-major; bitwise == np.add.at
+            native.dense_pack(src, dst, g.edge_weight, adj[b])
+        else:
+            np.add.at(adj[b], (dst, src), g.edge_weight)
         node_mask[b, :ng] = True
         if g.label is not None:
             labels[b] = int(g.label)

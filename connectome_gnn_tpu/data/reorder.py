@@ -35,6 +35,24 @@ def reverse_cuthill_mckee(
     ends = np.searchsorted(dst[order], np.arange(num_nodes), side="right")
     degree = ends - starts
 
+    from connectome_gnn_tpu import native
+
+    if native.AVAILABLE:
+        # dst_sorted is sorted → ends[i] == starts[i+1]: CSR indptr directly
+        indptr = np.concatenate([starts, [src_sorted.shape[0]]]).astype(np.int64)
+        return native.rcm(indptr, src_sorted, degree.astype(np.int64))
+
+    return _rcm_numpy(num_nodes, src_sorted, starts, ends, degree)
+
+
+def _rcm_numpy(
+    num_nodes: int,
+    src_sorted: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    degree: np.ndarray,
+) -> np.ndarray:
+    """Pure-numpy RCM BFS — fallback and the native kernel's oracle."""
     visited = np.zeros(num_nodes, bool)
     result: list[int] = []
     by_degree = np.argsort(degree, kind="stable")

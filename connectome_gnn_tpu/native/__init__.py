@@ -1,0 +1,136 @@
+"""Native (C++) host-runtime kernels with automatic build and fallback.
+
+The TPU compute path is JAX/XLA/Pallas; this package accelerates the host
+runtime *around* it: giant-graph ingest (RCM reordering, COO→band and
+COO→dense packing) whose numpy forms are Python-loop- or ``np.add.at``-
+bound at voxel-connectome scale.  The reference suite has no native code
+at all (SURVEY §2: pure Python + torch scatter) — this layer is part of
+the from-scratch TPU framework's production runtime.
+
+Design:
+
+* single C++17 translation unit (``cgt_native.cpp``), plain C ABI,
+  driven through :mod:`ctypes` on raw numpy buffers — no pybind11;
+* built on demand with ``g++ -O3`` into ``_cache/`` keyed by a source
+  hash (first import compiles once, ~1 s; subsequent imports dlopen);
+* every entry point is an *exact* drop-in for its numpy reference (same
+  visit order, same float accumulation order → bitwise-identical output,
+  asserted in ``tests/test_native.py``), so callers dispatch on
+  :data:`AVAILABLE` without numerical consequences;
+* set ``CGT_NO_NATIVE=1`` to force the numpy paths (also the automatic
+  behavior wherever a toolchain is missing).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "cgt_native.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build_and_load() -> ctypes.CDLL:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha1(src).hexdigest()[:12]
+    cache = os.path.join(_HERE, "_cache")
+    so_path = os.path.join(cache, f"cgt_native_{tag}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(cache, exist_ok=True)
+        tmp = f"{so_path}.tmp{os.getpid()}"
+        subprocess.run(
+            [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                "-fno-math-errno", _SRC, "-o", tmp,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, so_path)  # atomic: concurrent builders race safely
+    lib = ctypes.CDLL(so_path)
+    c_i64 = ctypes.c_int64
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.cgt_rcm.argtypes = [c_i64, p_i64, p_i64, p_i64, p_i64]
+    lib.cgt_rcm.restype = None
+    lib.cgt_band_pack.argtypes = [c_i64, p_i64, p_i64, p_f32, c_i64, c_i64, p_f32]
+    lib.cgt_band_pack.restype = None
+    lib.cgt_dense_pack.argtypes = [c_i64, p_i64, p_i64, p_f32, c_i64, p_f32]
+    lib.cgt_dense_pack.restype = None
+    return lib
+
+
+if not os.environ.get("CGT_NO_NATIVE"):
+    try:
+        _lib = _build_and_load()
+    except Exception:  # toolchain missing / unwritable cache → numpy paths
+        _lib = None
+
+AVAILABLE = _lib is not None
+
+
+def rcm(
+    indptr: np.ndarray, indices: np.ndarray, degree: np.ndarray
+) -> np.ndarray:
+    """Reverse Cuthill-McKee over a symmetrized CSR adjacency.
+
+    Exact counterpart of the BFS in
+    ``data/reorder.py::reverse_cuthill_mckee``; returns ``perm[new] = old``.
+    """
+    n = indptr.shape[0] - 1
+    out = np.empty(n, np.int64)
+    _lib.cgt_rcm(
+        n,
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int64),
+        np.ascontiguousarray(degree, np.int64),
+        out,
+    )
+    return out
+
+
+def band_pack(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    band: np.ndarray,
+    bandwidth: int,
+) -> None:
+    """Accumulate COO edges into a zeroed ``[nb, 2W+1, block, block]`` band
+    in place (bitwise-identical to the ``np.add.at`` form)."""
+    block = band.shape[2]
+    _lib.cgt_band_pack(
+        senders.shape[0],
+        np.ascontiguousarray(senders, np.int64),
+        np.ascontiguousarray(receivers, np.int64),
+        np.ascontiguousarray(weights, np.float32),
+        block,
+        int(bandwidth),
+        band,
+    )
+
+
+def dense_pack(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    adj: np.ndarray,
+) -> None:
+    """Accumulate COO edges into a zeroed dense ``[n, n]`` receiver-major
+    adjacency in place (bitwise-identical to ``np.add.at``)."""
+    _lib.cgt_dense_pack(
+        senders.shape[0],
+        np.ascontiguousarray(senders, np.int64),
+        np.ascontiguousarray(receivers, np.int64),
+        np.ascontiguousarray(weights, np.float32),
+        adj.shape[0],
+        adj,
+    )

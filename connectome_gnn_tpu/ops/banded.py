@@ -93,11 +93,16 @@ def to_banded(
     W = int(bandwidth)
 
     band = np.zeros((nb, 2 * W + 1, block, block), np.float32)
-    np.add.at(
-        band,
-        (rb, d + W, receivers % block, senders % block),
-        weights,
-    )
+    from connectome_gnn_tpu import native
+
+    if native.AVAILABLE:
+        native.band_pack(senders, receivers, weights, band, W)
+    else:
+        np.add.at(
+            band,
+            (rb, d + W, receivers % block, senders % block),
+            weights,
+        )
     return BandedMatrix(jnp.asarray(band), int(num_nodes), W)
 
 
