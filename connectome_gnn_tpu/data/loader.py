@@ -118,6 +118,17 @@ class ConnectomeDataLoader:
             return n // self.batch_size
         return math.ceil(n / self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle stream: the next iteration uses ``seed + epoch``.
+
+        Epoch ``t`` shuffles with ``seed + t`` either way; calling this
+        makes the order an explicit function of ``epoch`` rather than of
+        how many times the loader has been iterated — which is what lets
+        a resumed :meth:`Trainer.fit` replay the exact batch order of an
+        uninterrupted run.
+        """
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[ConnectomeBatch]:
         indices = np.arange(len(self.dataset))
         if self.shuffle:

@@ -36,12 +36,24 @@ def _path_key(path) -> str:
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
-    """Save a pytree of arrays to ``path`` (``.npz`` appended if missing)."""
+    """Save a pytree of arrays to ``path`` (``.npz`` appended if missing).
+
+    The write is atomic (tmp file + rename), so a crash mid-save — the
+    preemption case checkpointing exists for — never corrupts the last
+    good checkpoint.
+    """
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     arrays = {_path_key(p): np.asarray(v) for p, v in flat}
-    directory = os.path.dirname(os.path.abspath(path))
+    target = path if path.endswith(".npz") else path + ".npz"
+    directory = os.path.dirname(os.path.abspath(target))
     os.makedirs(directory, exist_ok=True)
-    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+    tmp = f"{target}.tmp{os.getpid()}.npz"  # np.savez appends .npz otherwise
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, target)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:

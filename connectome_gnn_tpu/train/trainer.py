@@ -263,6 +263,9 @@ class Trainer:
         num_epochs: int = 50,
         patience: int = 10,
         verbose: bool = True,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
     ) -> dict:
         """Train with early stopping on validation loss.
 
@@ -271,13 +274,39 @@ class Trainer:
         epochs without improvement, restore the best snapshot at the end.
         Returns a history dict with ``train_loss`` / ``val_loss`` /
         ``val_acc`` lists.
+
+        Preemption safety (the failure-recovery subsystem the reference
+        lacks, SURVEY §5): with ``checkpoint_dir`` set, the full training
+        state — params, BatchNorm state, optimizer state, PRNG key, the
+        best-so-far snapshot, and the history/early-stop bookkeeping — is
+        written atomically every ``checkpoint_every`` epochs and at exit.
+        ``resume=True`` restores it and continues; because the loader's
+        shuffle is pinned per epoch (``set_epoch``), a resumed run replays
+        the exact batch order of an uninterrupted one.
         """
         history: dict = {"train_loss": [], "val_loss": [], "val_acc": []}
         best_val_loss = float("inf")
         best_epoch = 0
         best_snapshot = None
+        start_epoch = 1
 
-        for epoch in range(1, num_epochs + 1):
+        if checkpoint_dir and resume:
+            meta = self._restore_fit_checkpoint(checkpoint_dir)
+            if meta is not None:
+                history = meta["history"]
+                best_val_loss = meta["best_val_loss"]
+                best_epoch = meta["best_epoch"]
+                best_snapshot = (self._best_params, self._best_state)
+                start_epoch = meta["epoch"] + 1
+                if verbose:
+                    print(
+                        f"Resumed from {checkpoint_dir} at epoch "
+                        f"{meta['epoch']} (best={best_epoch})"
+                    )
+
+        for epoch in range(start_epoch, num_epochs + 1):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch - 1)
             train_loss = self.train_epoch(train_loader)
             val_metrics = self.evaluate(val_loader)
 
@@ -301,7 +330,15 @@ class Trainer:
                 # train.py:116).
                 best_snapshot = (self.params, self.state)
 
-            if epoch - best_epoch >= patience:
+            stop = epoch - best_epoch >= patience
+            if checkpoint_dir and (
+                stop or epoch == num_epochs or epoch % checkpoint_every == 0
+            ):
+                self._save_fit_checkpoint(
+                    checkpoint_dir, epoch, best_epoch, best_val_loss,
+                    best_snapshot, history,
+                )
+            if stop:
                 if verbose:
                     print(f"Early stop at epoch {epoch} (best={best_epoch})")
                 break
@@ -309,3 +346,82 @@ class Trainer:
         if best_snapshot is not None:
             self.params, self.state = best_snapshot
         return history
+
+    # ------------------------------------------------------------------
+    # Preemption-safe fit checkpointing
+    # ------------------------------------------------------------------
+
+    def _fit_ckpt_paths(self, directory: str) -> tuple[str, str]:
+        import os
+
+        return (
+            os.path.join(directory, "fit_state.npz"),
+            os.path.join(directory, "fit_meta.json"),
+        )
+
+    def _save_fit_checkpoint(
+        self, directory, epoch, best_epoch, best_val_loss, best_snapshot, history
+    ) -> None:
+        import json
+        import os
+
+        from connectome_gnn_tpu.train.checkpoint import save_checkpoint
+
+        best_params, best_state = (
+            best_snapshot if best_snapshot is not None else (self.params, self.state)
+        )
+        state_path, meta_path = self._fit_ckpt_paths(directory)
+        save_checkpoint(
+            state_path,
+            {
+                "params": self.params,
+                "state": self.state,
+                "opt_state": self.opt_state,
+                "rng": self._rng,
+                "best_params": best_params,
+                "best_state": best_state,
+            },
+        )
+        # meta second: a checkpoint "exists" only once meta lands (atomic)
+        tmp = f"{meta_path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "best_epoch": best_epoch,
+                    "best_val_loss": best_val_loss,
+                    "history": history,
+                },
+                f,
+            )
+        os.replace(tmp, meta_path)
+
+    def _restore_fit_checkpoint(self, directory) -> Optional[dict]:
+        """Restore fit state from ``directory``; returns the meta dict, or
+        ``None`` when no checkpoint exists (fresh start)."""
+        import json
+        import os
+
+        from connectome_gnn_tpu.train.checkpoint import restore_checkpoint
+
+        state_path, meta_path = self._fit_ckpt_paths(directory)
+        if not (os.path.exists(meta_path) and os.path.exists(state_path)):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        template = {
+            "params": self.params,
+            "state": self.state,
+            "opt_state": self.opt_state,
+            "rng": self._rng,
+            "best_params": self.params,
+            "best_state": self.state,
+        }
+        tree = restore_checkpoint(state_path, template)
+        self.params = tree["params"]
+        self.state = tree["state"]
+        self.opt_state = tree["opt_state"]
+        self._rng = tree["rng"]
+        self._best_params = tree["best_params"]
+        self._best_state = tree["best_state"]
+        return meta

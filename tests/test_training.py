@@ -170,3 +170,71 @@ class TestPredictUnlabeled:
         trainer = make_trainer()
         logits = trainer.predict(loader)
         assert logits.shape == (5, 2)
+
+
+class TestFitCheckpointResume:
+    """Preemption-safe fit: resumed training replays the uninterrupted run."""
+
+    def _loaders(self):
+        graphs = generate_dataset(num_subjects=40, num_regions=20, seed=7)
+        return (
+            ConnectomeDataLoader(graphs[:30], batch_size=10, shuffle=True, seed=0),
+            ConnectomeDataLoader(graphs[30:], batch_size=10, shuffle=False),
+        )
+
+    def test_resume_bitwise_matches_uninterrupted(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+
+        # uninterrupted 6-epoch run
+        tr_a, va_a = self._loaders()
+        ref = make_trainer(seed=3)
+        hist_ref = ref.fit(tr_a, va_a, num_epochs=6, patience=10, verbose=False)
+
+        # same run preempted after 3 epochs, then resumed by a NEW trainer
+        tr_b, va_b = self._loaders()
+        first = make_trainer(seed=3)
+        first.fit(
+            tr_b, va_b, num_epochs=3, patience=10, verbose=False,
+            checkpoint_dir=ckpt,
+        )
+        tr_c, va_c = self._loaders()
+        second = make_trainer(seed=3)
+        hist_resumed = second.fit(
+            tr_c, va_c, num_epochs=6, patience=10, verbose=False,
+            checkpoint_dir=ckpt, resume=True,
+        )
+
+        assert hist_resumed["train_loss"] == pytest.approx(
+            hist_ref["train_loss"], abs=0
+        )
+        assert hist_resumed["val_loss"] == pytest.approx(hist_ref["val_loss"], abs=0)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref.params),
+            jax.tree_util.tree_leaves(second.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_with_no_checkpoint_starts_fresh(self, tmp_path):
+        tr, va = self._loaders()
+        trainer = make_trainer(seed=1)
+        hist = trainer.fit(
+            tr, va, num_epochs=2, patience=10, verbose=False,
+            checkpoint_dir=str(tmp_path / "none"), resume=True,
+        )
+        assert len(hist["train_loss"]) == 2
+
+    def test_checkpoint_every_and_final_write(self, tmp_path):
+        import json
+        import os
+
+        ckpt = str(tmp_path / "ck2")
+        tr, va = self._loaders()
+        trainer = make_trainer(seed=2)
+        trainer.fit(
+            tr, va, num_epochs=5, patience=10, verbose=False,
+            checkpoint_dir=ckpt, checkpoint_every=2,
+        )
+        with open(os.path.join(ckpt, "fit_meta.json")) as f:
+            meta = json.load(f)
+        assert meta["epoch"] == 5  # final epoch always checkpointed
+        assert len(meta["history"]["train_loss"]) == 5
