@@ -266,6 +266,58 @@ def bench_spmm_banded(num_nodes=65_536, avg_degree=16, band_nodes=512,
     }
 
 
+def bench_spmm_banded_giant(num_nodes=1 << 20, degree=38, band_nodes=512,
+                            feat=64, block=256, iters=10):
+    """Config 5 at FULL north-star scale: ~1M nodes / ~40M edges banded.
+
+    BASELINE.json config 5 names "a single giant voxel-level connectome
+    (~1M nodes, ~40M edges)"; this measures the banded MXU SpMM there.
+    The ~5.4 GB block band is constructed ON DEVICE (scatter-add of
+    host-computed linear indices) — only 160 MB of indices cross the
+    host↔device link, not the band itself.
+    """
+    rng = np.random.default_rng(0)
+    E = num_nodes * degree
+    receivers = np.repeat(np.arange(num_nodes, dtype=np.int64), degree)
+    senders = np.clip(
+        receivers + rng.integers(-band_nodes, band_nodes + 1, E), 0,
+        num_nodes - 1,
+    )
+    W = -(-band_nodes // block)
+    nb = num_nodes // block
+    dcount = 2 * W + 1
+    rb = receivers // block
+    d = senders // block - rb + W
+    lin = (
+        ((rb * dcount + d) * block + receivers % block) * block
+        + senders % block
+    ).astype(np.int32)  # max index nb*dcount*block^2 < 2^31
+
+    from connectome_gnn_tpu.ops.banded import BandedMatrix, banded_spmm
+
+    @jax.jit
+    def build(lin_idx, key):
+        w = jax.random.uniform(key, (E,), jnp.float32)
+        flat = jnp.zeros(nb * dcount * block * block, jnp.float32)
+        return flat.at[lin_idx].add(w).reshape(nb, dcount, block, block)
+
+    band = build(jnp.asarray(lin), jax.random.PRNGKey(0))
+    a = BandedMatrix(band, num_nodes, W)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (num_nodes, feat), jnp.float32)
+
+    dt = chained_loop_time(
+        lambda v, b: banded_spmm(a._replace(band=b), v), x0, iters, band
+    )
+    band_gb = band.size * 4 / 1e9
+    return {
+        "ms_per_spmm": dt * 1e3,
+        "edges_per_s": E / dt,
+        "band_traffic_gb_per_s": band_gb / dt,
+        "num_nodes": num_nodes,
+        "num_edges": E,
+    }
+
+
 def bench_spmm_hybrid(num_nodes=65_536, avg_degree=16, band_nodes=512,
                       shortcut_frac=0.1, feat=64, block=128, iters=20):
     """Config 5 (realistic locality): hybrid band+remainder SpMM edges/s.
@@ -386,6 +438,8 @@ BENCHES = {
            bench_spmm_banded),
     "5c": ("hybrid band+remainder SpMM, 65k nodes / 1.0M edges (90% local), F=64",
            bench_spmm_hybrid),
+    "5d": ("banded SpMM at FULL config-5 scale, 1M nodes / 40M edges (±512 band), F=64",
+           bench_spmm_banded_giant),
     "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
           bench_train_step),
 }

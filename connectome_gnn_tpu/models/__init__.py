@@ -6,6 +6,7 @@ from connectome_gnn_tpu.models.connectome import (
     GraphSAGEConnectome,
 )
 from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+from connectome_gnn_tpu.models.node_sage import BandedNodeSAGE
 from connectome_gnn_tpu.models.layers import (
     gcn_layer_apply,
     gcn_layer_init,
@@ -15,6 +16,7 @@ from connectome_gnn_tpu.models.layers import (
 
 __all__ = [
     "BandedNodeGCN",
+    "BandedNodeSAGE",
     "GCNConnectome",
     "GraphSAGEConnectome",
     "gcn_layer_apply",

@@ -1,0 +1,128 @@
+"""Node-level GraphSAGE over a banded giant graph (single device).
+
+The SAGE counterpart of :class:`~connectome_gnn_tpu.models.node_gcn.BandedNodeGCN`
+for the voxel-level regime: L weighted-mean-aggregate SAGE convolutions
+(reference semantics, ``connectome_gnn/models.py:136-152`` — messages
+``x[src]·w``, normalizer = incident-weight sum ``+1e-8``, concat-project-
+ReLU, no self-loops) running as shifted-window batched matmuls over the
+block band, then masked BatchNorm + dropout per layer (NO extra ReLU —
+the reference's SAGE asymmetry, models.py:256-262) and a per-node linear
+head.  Accepts :class:`BandedMatrix` or :class:`HybridMatrix`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from connectome_gnn_tpu.models.layers import sage_layer_init
+from connectome_gnn_tpu.nn.layers import (
+    batch_norm_apply,
+    batch_norm_init,
+    dense_apply,
+    dense_init,
+    dropout,
+)
+from connectome_gnn_tpu.ops.banded import (
+    BandedMatrix,
+    HybridMatrix,
+    banded_row_sum,
+    banded_spmm,
+    hybrid_row_sum,
+    hybrid_spmm,
+)
+
+EPS = 1e-8
+
+
+def init_node_sage_params(
+    key: jax.Array,
+    in_channels: int,
+    hidden_dim: int,
+    num_classes: int,
+    num_layers: int,
+) -> tuple[dict, dict]:
+    """L SAGE convolutions (Xavier concat-kernels, torch-default bias) +
+    BatchNorm + per-node linear head."""
+    dims = [in_channels] + [hidden_dim] * num_layers
+    keys = jax.random.split(key, num_layers + 1)
+    convs = [
+        sage_layer_init(keys[i], dims[i], dims[i + 1]) for i in range(num_layers)
+    ]
+    norm_params, norm_states = zip(
+        *(batch_norm_init(hidden_dim) for _ in range(num_layers))
+    )
+    head = dense_init(keys[-1], hidden_dim, num_classes)
+    return (
+        {"convs": convs, "norms": list(norm_params), "head": head},
+        {"norms": list(norm_states)},
+    )
+
+
+class BandedNodeSAGE:
+    """L-layer node-classification GraphSAGE over a block-banded graph."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        hidden_dim: int = 64,
+        num_classes: int = 2,
+        num_layers: int = 3,
+        dropout: float = 0.0,
+    ):
+        self.in_channels = int(in_channels)
+        self.hidden_dim = int(hidden_dim)
+        self.num_classes = int(num_classes)
+        self.num_layers = int(num_layers)
+        self.dropout = float(dropout)
+
+    def init(self, key: jax.Array) -> tuple[dict, dict]:
+        return init_node_sage_params(
+            key, self.in_channels, self.hidden_dim, self.num_classes,
+            self.num_layers,
+        )
+
+    def apply(
+        self,
+        params: dict,
+        state: dict,
+        adjacency: BandedMatrix,
+        x: jnp.ndarray,
+        *,
+        node_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> tuple[jnp.ndarray, dict]:
+        """Per-node logits ``[num_nodes, C]`` plus updated BN state."""
+        n = adjacency.num_nodes
+        if node_mask is None:
+            node_mask = jnp.ones((n,), bool)
+
+        if isinstance(adjacency, HybridMatrix):
+            spmm, w_sum = hybrid_spmm, hybrid_row_sum(adjacency)[:n]
+        else:
+            spmm, w_sum = banded_spmm, banded_row_sum(adjacency)[:n]
+        w_sum = w_sum[:, None]
+
+        h = x[:n]
+        new_norms = []
+        drop_keys = (
+            jax.random.split(rng, self.num_layers)
+            if (train and rng is not None)
+            else [None] * self.num_layers
+        )
+        for i in range(self.num_layers):
+            agg = spmm(adjacency, h)[:n] / (w_sum + EPS)
+            h = jax.nn.relu(
+                dense_apply(params["convs"][i], jnp.concatenate([h, agg], axis=1))
+            )
+            h, bn_state = batch_norm_apply(
+                params["norms"][i], state["norms"][i], h, node_mask, train=train
+            )
+            new_norms.append(bn_state)
+            # reference SAGE asymmetry: no post-BN ReLU (models.py:256-262)
+            h = dropout(drop_keys[i], h, self.dropout, train=train)
+        logits = dense_apply(params["head"], h)
+        return logits, {"norms": new_norms}

@@ -14,9 +14,11 @@ from connectome_gnn_tpu.ops.banded import (
     BandedMatrix,
     HybridMatrix,
     banded_block_diag,
+    banded_row_sum,
     banded_spmm,
     gcn_normalize_banded,
     gcn_normalize_hybrid,
+    hybrid_row_sum,
     hybrid_spmm,
     to_banded,
     to_hybrid,
@@ -36,6 +38,7 @@ __all__ = [
     "HybridMatrix",
     "GCNNorm",
     "banded_block_diag",
+    "banded_row_sum",
     "banded_spmm",
     "coo_spmm",
     "fused_gcn_forward",
@@ -44,6 +47,7 @@ __all__ = [
     "gcn_normalize",
     "gcn_normalize_banded",
     "gcn_normalize_hybrid",
+    "hybrid_row_sum",
     "hybrid_spmm",
     "graph_mean_pool",
     "sddmm",

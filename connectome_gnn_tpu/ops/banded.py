@@ -134,6 +134,12 @@ def banded_spmm(a: BandedMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(padded, F)[: a.num_nodes]
 
 
+def banded_row_sum(a: BandedMatrix) -> jnp.ndarray:
+    """Weighted receiver (row) degrees, ``[padded]`` — the SAGE mean
+    normalizer (rows are local to their block, no halo needed)."""
+    return jnp.sum(a.band, axis=(1, 3)).reshape(a.num_blocks * a.block)
+
+
 def banded_sender_degree(a: BandedMatrix) -> jnp.ndarray:
     """Weighted sender (column) degrees of the banded matrix, ``[padded]``.
 
@@ -300,6 +306,14 @@ def hybrid_spmm(a: HybridMatrix, x: jnp.ndarray) -> jnp.ndarray:
         indices_are_sorted=True,
     )
     return out + rem
+
+
+def hybrid_row_sum(a: HybridMatrix) -> jnp.ndarray:
+    """Weighted receiver (row) degrees over band + remainder, ``[padded]``."""
+    row = banded_row_sum(a.band)
+    return row + jax.ops.segment_sum(
+        a.remainder_weights, a.remainder_receivers, num_segments=row.shape[0]
+    )
 
 
 def hybrid_sender_degree(a: HybridMatrix) -> jnp.ndarray:

@@ -9,6 +9,7 @@ from connectome_gnn_tpu.parallel.data_parallel import (
 from connectome_gnn_tpu.parallel.banded_partition import (
     PartitionedBanded,
     ShardedBandedGCN,
+    ShardedBandedSAGE,
     halo_exchange,
     make_banded_train_step_2d,
     make_sharded_banded_train_step,
@@ -28,6 +29,7 @@ __all__ = [
     "EdgePartitionedGCN",
     "PartitionedBanded",
     "ShardedBandedGCN",
+    "ShardedBandedSAGE",
     "halo_exchange",
     "partition_banded",
     "PartitionedGraph",

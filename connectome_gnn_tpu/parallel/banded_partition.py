@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+from connectome_gnn_tpu.models.node_sage import BandedNodeSAGE
 from connectome_gnn_tpu.parallel.shard_forward import ShardMapForwardMixin
 from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply, dropout
 from connectome_gnn_tpu.ops.banded import BandedMatrix
@@ -271,6 +272,72 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
             )
             new_norms.append(bn_state)
             h = jax.nn.relu(h)
+            h = dropout(drop_keys[i], h, self.dropout, train=train)
+        logits = dense_apply(params["head"], h)
+        return logits, {"norms": new_norms}
+
+
+class ShardedBandedSAGE(ShardMapForwardMixin, BandedNodeSAGE):
+    """Halo-exchange sharded variant of :class:`BandedNodeSAGE`.
+
+    Simpler than the GCN: SAGE's mean normalizer is the *row* (receiver)
+    weight sum, which every shard owns locally — the only exchange is the
+    per-layer ``W``-block activation halo.  Parameter pytrees are shared
+    with the single-device model; the 1-D and 2-D train-step factories
+    work unchanged (they only call ``apply_shard``).
+    """
+
+    def apply_shard(
+        self,
+        params: dict,
+        state: dict,
+        shard: PartitionedBanded,
+        *,
+        axis_name: str,
+        stats_axes=None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> tuple[jnp.ndarray, dict]:
+        if stats_axes is None:
+            stats_axes = axis_name
+        band = shard.band
+        nb_local, dcount, block, _ = band.shape
+        W = shard.bandwidth
+        p_local = nb_local * block
+        mask = shard.node_mask
+
+        w_sum = jnp.sum(band, axis=(1, 3)).reshape(p_local)[:, None]
+        idx = jnp.arange(nb_local)[:, None] + jnp.arange(dcount)[None, :]
+
+        new_norms = []
+        if train and rng is not None:
+            for ax in (
+                stats_axes if isinstance(stats_axes, tuple) else (stats_axes,)
+            ):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+            drop_keys = jax.random.split(rng, self.num_layers)
+        else:
+            drop_keys = [None] * self.num_layers
+
+        h = shard.node_features
+        for i in range(self.num_layers):
+            h_ext = halo_exchange(h.reshape(nb_local, block, -1), W, axis_name)
+            windows = jnp.take(h_ext, idx, axis=0)  # [NBl, 2W+1, block, H]
+            msg = jnp.einsum(
+                "ndrc,ndcf->nrf", band, windows,
+                preferred_element_type=jnp.float32,
+            ).reshape(p_local, -1)
+            agg = msg / (w_sum + EPS)
+            h = jax.nn.relu(
+                dense_apply(
+                    params["convs"][i], jnp.concatenate([h, agg], axis=1)
+                )
+            )
+            h, bn_state = batch_norm_apply(
+                params["norms"][i], state["norms"][i], h, mask,
+                train=train, axis_name=stats_axes,
+            )
+            new_norms.append(bn_state)
             h = dropout(drop_keys[i], h, self.dropout, train=train)
         logits = dense_apply(params["head"], h)
         return logits, {"norms": new_norms}

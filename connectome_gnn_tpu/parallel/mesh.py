@@ -33,4 +33,12 @@ def create_mesh(
         if len(axis_names) != 1:
             raise ValueError("shape is required for multi-axis meshes")
         shape = (len(devices),)
-    return jax.make_mesh(tuple(shape), tuple(axis_names), devices=devices)
+    # Auto axis types, not the jax.make_mesh default (Explicit): with
+    # Explicit axes, shard_map outputs carry mesh-typed NamedShardings that
+    # poison later single-device ops on the same arrays (e.g. reusing
+    # trained params in an unsharded model hits ShardingTypeError in
+    # dynamic_update_slice).  Auto restores classic shard_map semantics.
+    axis_types = (jax.sharding.AxisType.Auto,) * len(axis_names)
+    return jax.make_mesh(
+        tuple(shape), tuple(axis_names), devices=devices, axis_types=axis_types
+    )
