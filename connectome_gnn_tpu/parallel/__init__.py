@@ -16,6 +16,10 @@ from connectome_gnn_tpu.parallel.banded_partition import (
     partition_banded,
     stack_partitioned,
 )
+from connectome_gnn_tpu.parallel.hybrid_partition import (
+    PartitionedHybrid,
+    partition_hybrid,
+)
 from connectome_gnn_tpu.parallel.edge_partition import (
     EdgePartitionedGCN,
     PartitionedGraph,
@@ -28,10 +32,12 @@ from connectome_gnn_tpu.parallel.mesh import create_mesh
 __all__ = [
     "EdgePartitionedGCN",
     "PartitionedBanded",
+    "PartitionedHybrid",
     "ShardedBandedGCN",
     "ShardedBandedSAGE",
     "halo_exchange",
     "partition_banded",
+    "partition_hybrid",
     "PartitionedGraph",
     "create_mesh",
     "make_dp_eval_step",

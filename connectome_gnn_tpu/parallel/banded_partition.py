@@ -207,6 +207,10 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
         p_local = nb_local * block
         x = shard.node_features
         mask = shard.node_mask
+        is_hybrid = hasattr(shard, "rem_weights")
+        if is_hybrid:
+            from connectome_gnn_tpu.parallel.hybrid_partition import (
+                exchange_rows, reverse_scatter)
 
         # --- exact sender degrees with halo reduction ---
         col_sums = jnp.sum(band, axis=2)  # [NBl, 2W+1, block]
@@ -216,12 +220,32 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
         deg_ext = jax.ops.segment_sum(
             col_sums.reshape(-1, block), target, num_segments=nb_local + 2 * W
         )
-        deg = (
-            _halo_reduce_degrees(deg_ext, nb_local, W, axis_name).reshape(p_local)
-            + 1.0
+        deg = _halo_reduce_degrees(deg_ext, nb_local, W, axis_name).reshape(
+            p_local
         )
+        if is_hybrid:
+            # remainder sender degrees: local slots add in place, borrowed
+            # slots are partial sums returned to their owner shards
+            n_slots = p_local + shard.send_idx.size
+            contrib = jax.ops.segment_sum(
+                shard.rem_weights, shard.rem_src_slot, num_segments=n_slots
+            )
+            deg = deg + contrib[:p_local] + reverse_scatter(
+                contrib[p_local:].reshape(shard.send_idx.shape),
+                shard.send_idx, p_local, axis_name,
+            )
+        deg = deg + 1.0
         dinv = jax.lax.rsqrt(deg + EPS)  # [p_local]
         self_norm = (dinv * dinv)[:, None]
+
+        if is_hybrid:
+            dinv_remote = exchange_rows(dinv, shard.send_idx, axis_name)
+            dinv_table = jnp.concatenate([dinv, dinv_remote.reshape(-1)])
+            safe_r = jnp.minimum(shard.rem_receivers, p_local - 1)
+            rem_norm = (
+                dinv[safe_r] * shard.rem_weights
+                * dinv_table[shard.rem_src_slot]
+            )
 
         # sender-side dinv needs the halo too
         dinv_ext = halo_exchange(
@@ -261,6 +285,15 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
                 windows,
                 preferred_element_type=jnp.float32,
             ).reshape(p_local, -1)
+            if is_hybrid:
+                recv = exchange_rows(hw, shard.send_idx, axis_name)
+                table = jnp.concatenate(
+                    [hw, recv.reshape(-1, hw.shape[1])], axis=0
+                )
+                msgs = table[shard.rem_src_slot] * rem_norm[:, None]
+                agg = agg + jax.ops.segment_sum(
+                    msgs, shard.rem_receivers, num_segments=p_local
+                )
             h = agg + self_norm * hw + params["convs"][i]["bias"]
             h, bn_state = batch_norm_apply(
                 params["norms"][i],
@@ -305,8 +338,19 @@ class ShardedBandedSAGE(ShardMapForwardMixin, BandedNodeSAGE):
         W = shard.bandwidth
         p_local = nb_local * block
         mask = shard.node_mask
+        is_hybrid = hasattr(shard, "rem_weights")
+        if is_hybrid:
+            from connectome_gnn_tpu.parallel.hybrid_partition import (
+                exchange_rows)
 
-        w_sum = jnp.sum(band, axis=(1, 3)).reshape(p_local)[:, None]
+        w_sum = jnp.sum(band, axis=(1, 3)).reshape(p_local)
+        if is_hybrid:
+            # SAGE's mean normalizer is receiver-side → remainder weights
+            # add locally, no cross-shard reduction needed
+            w_sum = w_sum + jax.ops.segment_sum(
+                shard.rem_weights, shard.rem_receivers, num_segments=p_local
+            )
+        w_sum = w_sum[:, None]
         idx = jnp.arange(nb_local)[:, None] + jnp.arange(dcount)[None, :]
 
         new_norms = []
@@ -327,6 +371,16 @@ class ShardedBandedSAGE(ShardMapForwardMixin, BandedNodeSAGE):
                 "ndrc,ndcf->nrf", band, windows,
                 preferred_element_type=jnp.float32,
             ).reshape(p_local, -1)
+            if is_hybrid:
+                recv = exchange_rows(h, shard.send_idx, axis_name)
+                table = jnp.concatenate(
+                    [h, recv.reshape(-1, h.shape[1])], axis=0
+                )
+                msg = msg + jax.ops.segment_sum(
+                    table[shard.rem_src_slot] * shard.rem_weights[:, None],
+                    shard.rem_receivers,
+                    num_segments=p_local,
+                )
             agg = msg / (w_sum + EPS)
             h = jax.nn.relu(
                 dense_apply(
