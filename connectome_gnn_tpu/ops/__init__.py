@@ -18,6 +18,7 @@ from connectome_gnn_tpu.ops.banded import (
     banded_spmm,
     gcn_normalize_banded,
     gcn_normalize_hybrid,
+    hybrid_block_diag,
     hybrid_row_sum,
     hybrid_spmm,
     to_banded,
@@ -47,6 +48,7 @@ __all__ = [
     "gcn_normalize",
     "gcn_normalize_banded",
     "gcn_normalize_hybrid",
+    "hybrid_block_diag",
     "hybrid_row_sum",
     "hybrid_spmm",
     "graph_mean_pool",

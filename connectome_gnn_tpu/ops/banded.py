@@ -292,6 +292,49 @@ def to_hybrid(
     )
 
 
+def hybrid_block_diag(parts) -> tuple["HybridMatrix", jnp.ndarray]:
+    """Block-diagonal concatenation of hybrid matrices.
+
+    Band parts stack exactly (:func:`banded_block_diag`); each part's
+    REAL remainder edges are offset by the part's padded start and the
+    combined list is receiver-sorted and re-padded (the per-part padding
+    sentinels point at the part's own padded end and would alias the next
+    part's rows if kept).  Returns ``(combined, node_valid_mask)`` — the
+    single-device oracle for a 2-D sharded hybrid cohort.
+    """
+    band, valid = banded_block_diag([p.band for p in parts])
+    ss, rr, ww = [], [], []
+    off = 0
+    for p in parts:
+        padded = p.band.num_blocks * p.band.block
+        s = np.asarray(p.remainder_senders, np.int64)
+        r = np.asarray(p.remainder_receivers, np.int64)
+        w = np.asarray(p.remainder_weights, np.float32)
+        real = r < padded
+        ss.append(s[real] + off)
+        rr.append(r[real] + off)
+        ww.append(w[real])
+        off += padded
+    s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+    r = np.concatenate(rr) if rr else np.empty(0, np.int64)
+    w = np.concatenate(ww) if ww else np.empty(0, np.float32)
+    order = np.argsort(r, kind="stable")
+    e = s.shape[0]
+    cap = round_up(max(e, 1), 128)
+    out_s = np.full(cap, off, np.int32)
+    out_r = np.full(cap, off, np.int32)
+    out_w = np.zeros(cap, np.float32)
+    out_s[:e] = s[order]
+    out_r[:e] = r[order]
+    out_w[:e] = w[order]
+    return (
+        HybridMatrix(
+            band, jnp.asarray(out_s), jnp.asarray(out_r), jnp.asarray(out_w)
+        ),
+        valid,
+    )
+
+
 def hybrid_spmm(a: HybridMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """``A @ x`` for the hybrid form: banded MXU bulk + scatter remainder."""
     from connectome_gnn_tpu.ops.segment import coo_spmm

@@ -19,6 +19,7 @@ from connectome_gnn_tpu.parallel.banded_partition import (
 from connectome_gnn_tpu.parallel.hybrid_partition import (
     PartitionedHybrid,
     partition_hybrid,
+    partition_hybrid_cohort,
 )
 from connectome_gnn_tpu.parallel.edge_partition import (
     EdgePartitionedGCN,
@@ -38,6 +39,7 @@ __all__ = [
     "halo_exchange",
     "partition_banded",
     "partition_hybrid",
+    "partition_hybrid_cohort",
     "PartitionedGraph",
     "create_mesh",
     "make_dp_eval_step",

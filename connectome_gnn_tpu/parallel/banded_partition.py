@@ -132,6 +132,18 @@ def partition_banded(
     )
 
 
+def _layer_drop_keys(rng, stats_axes, train: bool, num_layers: int):
+    """Per-layer dropout keys, decorrelated across every mesh axis BN
+    statistics span (shared by both sharded model families)."""
+    if train and rng is not None:
+        for ax in (
+            stats_axes if isinstance(stats_axes, tuple) else (stats_axes,)
+        ):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+        return jax.random.split(rng, num_layers)
+    return [None] * num_layers
+
+
 def _neighbor_perms(num_shards: int):
     to_right = [(i, i + 1) for i in range(num_shards - 1)]
     to_left = [(i + 1, i) for i in range(num_shards - 1)]
@@ -210,7 +222,7 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
         is_hybrid = hasattr(shard, "rem_weights")
         if is_hybrid:
             from connectome_gnn_tpu.parallel.hybrid_partition import (
-                exchange_rows, reverse_scatter)
+                remainder_aggregate, remainder_table, reverse_scatter)
 
         # --- exact sender degrees with halo reduction ---
         col_sums = jnp.sum(band, axis=2)  # [NBl, 2W+1, block]
@@ -239,8 +251,7 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
         self_norm = (dinv * dinv)[:, None]
 
         if is_hybrid:
-            dinv_remote = exchange_rows(dinv, shard.send_idx, axis_name)
-            dinv_table = jnp.concatenate([dinv, dinv_remote.reshape(-1)])
+            dinv_table = remainder_table(dinv, shard, axis_name)
             safe_r = jnp.minimum(shard.rem_receivers, p_local - 1)
             rem_norm = (
                 dinv[safe_r] * shard.rem_weights
@@ -260,14 +271,7 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
         )
 
         new_norms = []
-        if train and rng is not None:
-            for ax in (
-                stats_axes if isinstance(stats_axes, tuple) else (stats_axes,)
-            ):
-                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
-            drop_keys = jax.random.split(rng, self.num_layers)
-        else:
-            drop_keys = [None] * self.num_layers
+        drop_keys = _layer_drop_keys(rng, stats_axes, train, self.num_layers)
 
         h = x
         for i in range(self.num_layers):
@@ -286,13 +290,8 @@ class ShardedBandedGCN(ShardMapForwardMixin, BandedNodeGCN):
                 preferred_element_type=jnp.float32,
             ).reshape(p_local, -1)
             if is_hybrid:
-                recv = exchange_rows(hw, shard.send_idx, axis_name)
-                table = jnp.concatenate(
-                    [hw, recv.reshape(-1, hw.shape[1])], axis=0
-                )
-                msgs = table[shard.rem_src_slot] * rem_norm[:, None]
-                agg = agg + jax.ops.segment_sum(
-                    msgs, shard.rem_receivers, num_segments=p_local
+                agg = agg + remainder_aggregate(
+                    hw, rem_norm, shard, axis_name, p_local
                 )
             h = agg + self_norm * hw + params["convs"][i]["bias"]
             h, bn_state = batch_norm_apply(
@@ -341,7 +340,7 @@ class ShardedBandedSAGE(ShardMapForwardMixin, BandedNodeSAGE):
         is_hybrid = hasattr(shard, "rem_weights")
         if is_hybrid:
             from connectome_gnn_tpu.parallel.hybrid_partition import (
-                exchange_rows)
+                remainder_aggregate)
 
         w_sum = jnp.sum(band, axis=(1, 3)).reshape(p_local)
         if is_hybrid:
@@ -354,14 +353,7 @@ class ShardedBandedSAGE(ShardMapForwardMixin, BandedNodeSAGE):
         idx = jnp.arange(nb_local)[:, None] + jnp.arange(dcount)[None, :]
 
         new_norms = []
-        if train and rng is not None:
-            for ax in (
-                stats_axes if isinstance(stats_axes, tuple) else (stats_axes,)
-            ):
-                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
-            drop_keys = jax.random.split(rng, self.num_layers)
-        else:
-            drop_keys = [None] * self.num_layers
+        drop_keys = _layer_drop_keys(rng, stats_axes, train, self.num_layers)
 
         h = shard.node_features
         for i in range(self.num_layers):
@@ -372,14 +364,8 @@ class ShardedBandedSAGE(ShardMapForwardMixin, BandedNodeSAGE):
                 preferred_element_type=jnp.float32,
             ).reshape(p_local, -1)
             if is_hybrid:
-                recv = exchange_rows(h, shard.send_idx, axis_name)
-                table = jnp.concatenate(
-                    [h, recv.reshape(-1, h.shape[1])], axis=0
-                )
-                msg = msg + jax.ops.segment_sum(
-                    table[shard.rem_src_slot] * shard.rem_weights[:, None],
-                    shard.rem_receivers,
-                    num_segments=p_local,
+                msg = msg + remainder_aggregate(
+                    h, shard.rem_weights, shard, axis_name, p_local
                 )
             agg = msg / (w_sum + EPS)
             h = jax.nn.relu(
@@ -410,7 +396,9 @@ def make_sharded_banded_train_step(
     cross-entropy over labeled nodes across all shards; gradient exactness
     follows :func:`~connectome_gnn_tpu.parallel.shard_forward.apply_global_update`
     (halo-exchange ppermutes and psums differentiate correctly under
-    shard_map's vma autodiff).
+    shard_map's vma autodiff).  Exactness vs a single-device step holds
+    for ``dropout == 0``; with dropout the per-shard mask streams are
+    decorrelated by mesh position and differ from any unsharded run.
     """
     from functools import partial
 
@@ -474,11 +462,13 @@ def make_banded_train_step_2d(
     ``Dd``) owns a subset of subjects, and within a row each subject's row
     blocks are sharded over the ``edge`` axis (size ``De``) with halo
     ppermutes exactly as in the 1-D step.  BatchNorm statistics and the
-    loss normalization psum over BOTH axes, so the step is numerically
-    identical to single-device training on the block-diagonal
-    concatenation of the whole cohort
+    loss normalization psum over BOTH axes, so with ``dropout == 0`` the
+    step is numerically identical to single-device training on the
+    block-diagonal concatenation of the whole cohort
     (:func:`connectome_gnn_tpu.ops.banded.banded_block_diag`) — the
-    gradient-oracle test in ``tests/test_mesh2d.py`` proves it.
+    gradient-oracle test in ``tests/test_mesh2d.py`` proves it.  With
+    dropout enabled the per-shard mask streams are decorrelated by mesh
+    position (by design) and no single-device run reproduces them.
 
     Signature: ``(params, state, opt_state, step_key, stacked) ->
     (params, state, opt_state, loss, n_real)`` where ``stacked`` comes

@@ -102,8 +102,19 @@ def partition_hybrid(
     labels: Optional[np.ndarray] = None,
     edge_multiple: int = 128,
     slot_multiple: int = 8,
+    edge_capacity: Optional[int] = None,
+    slot_capacity: Optional[int] = None,
 ) -> PartitionedHybrid:
-    """Shard a hybrid matrix + features by row blocks (host side)."""
+    """Shard a hybrid matrix + features by row blocks (host side).
+
+    ``edge_capacity`` / ``slot_capacity`` pin the static remainder-edge
+    and borrowed-row paddings instead of deriving them from this graph —
+    REQUIRED when multiple subjects are stacked into a 2-D cohort
+    (:func:`~connectome_gnn_tpu.parallel.banded_partition.stack_partitioned`
+    needs identical static shapes across subjects; per-subject derived
+    paddings differ whenever shortcut counts do).  Raises if a capacity
+    is too small for this graph.
+    """
     pb = partition_banded(
         h.band, x, num_shards, node_mask=node_mask, labels=labels
     )
@@ -130,6 +141,13 @@ def partition_hybrid(
             uniques[i][j] = np.unique(s_loc[mask_j & (d_s == i)])
     max_u = max((len(u) for row in uniques for u in row), default=0)
     U = max(slot_multiple, -(-max_u // slot_multiple) * slot_multiple)
+    if slot_capacity is not None:
+        if slot_capacity < max_u:
+            raise ValueError(
+                f"slot_capacity={slot_capacity} < required {max_u} borrowed "
+                "rows on some shard pair"
+            )
+        U = int(slot_capacity)
 
     send_idx = np.full((D, D, U), p_local, np.int32)
     for i in range(D):
@@ -142,6 +160,13 @@ def partition_hybrid(
         (int((d_r == j).sum()) for j in range(D)), default=0
     )
     E_loc = max(edge_multiple, -(-max(e_loc, 1) // edge_multiple) * edge_multiple)
+    if edge_capacity is not None:
+        if edge_capacity < e_loc:
+            raise ValueError(
+                f"edge_capacity={edge_capacity} < required {e_loc} remainder "
+                "edges on some shard"
+            )
+        E_loc = int(edge_capacity)
     rem_w = np.zeros((D, E_loc), np.float32)
     rem_r = np.full((D, E_loc), p_local, np.int32)
     rem_slot = np.zeros((D, E_loc), np.int32)
@@ -177,6 +202,48 @@ def partition_hybrid(
     )
 
 
+def partition_hybrid_cohort(
+    hybrids,
+    features,
+    num_shards: int,
+    *,
+    labels=None,
+    **kwargs,
+) -> PartitionedHybrid:
+    """Partition a cohort of hybrid subjects with UNIFIED static paddings
+    and stack them for the 2-D ``("data", "edge")`` mesh.
+
+    Per-subject derived remainder paddings differ whenever shortcut
+    counts do, which would break ``stack_partitioned``; this probes each
+    subject once to find the worst-case capacities, re-partitions with
+    them pinned, and returns the stacked pytree (leaves ``[Dd, De, ...]``).
+    """
+    from connectome_gnn_tpu.parallel.banded_partition import stack_partitioned
+
+    labels = labels if labels is not None else [None] * len(hybrids)
+    probes = [
+        partition_hybrid(h, x, num_shards, labels=lab, **kwargs)
+        for h, x, lab in zip(hybrids, features, labels)
+    ]
+    e_cap = max(int(p.rem_weights.shape[-1]) for p in probes)
+    u_cap = max(int(p.send_idx.shape[-1]) for p in probes)
+    if all(
+        int(p.rem_weights.shape[-1]) == e_cap
+        and int(p.send_idx.shape[-1]) == u_cap
+        for p in probes
+    ):
+        return stack_partitioned(probes)
+    return stack_partitioned(
+        [
+            partition_hybrid(
+                h, x, num_shards, labels=lab,
+                edge_capacity=e_cap, slot_capacity=u_cap, **kwargs,
+            )
+            for h, x, lab in zip(hybrids, features, labels)
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Device-side exchange primitives (run inside shard_map)
 # ---------------------------------------------------------------------------
@@ -199,6 +266,35 @@ def exchange_rows(
     """
     safe = jnp.minimum(send_idx, values.shape[0] - 1)
     return _a2a(values[safe], axis_name)
+
+
+def remainder_table(
+    values: jnp.ndarray, shard: PartitionedHybrid, axis_name: str
+) -> jnp.ndarray:
+    """``[p_local local rows ‖ D·U borrowed rows]`` — the table
+    ``rem_src_slot`` indexes.  One all_to_all per call."""
+    recv = exchange_rows(values, shard.send_idx, axis_name)
+    if values.ndim == 1:
+        return jnp.concatenate([values, recv.reshape(-1)])
+    return jnp.concatenate(
+        [values, recv.reshape(-1, values.shape[-1])], axis=0
+    )
+
+
+def remainder_aggregate(
+    values: jnp.ndarray,
+    edge_weights: jnp.ndarray,
+    shard: PartitionedHybrid,
+    axis_name: str,
+    p_local: int,
+) -> jnp.ndarray:
+    """Weighted remainder-edge aggregation into local receiver rows —
+    the shared per-layer step of both sharded model families."""
+    table = remainder_table(values, shard, axis_name)
+    msgs = table[shard.rem_src_slot] * edge_weights[:, None]
+    return jax.ops.segment_sum(
+        msgs, shard.rem_receivers, num_segments=p_local
+    )
 
 
 def reverse_scatter(

@@ -297,6 +297,16 @@ class Trainer:
                 best_val_loss = meta["best_val_loss"]
                 best_epoch = meta["best_epoch"]
                 best_snapshot = (self._best_params, self._best_state)
+                if meta.get("stopped_early"):
+                    # the run already finished: re-invoking the same job
+                    # script must not train extra epochs
+                    if verbose:
+                        print(
+                            f"Run in {checkpoint_dir} already early-stopped "
+                            f"at epoch {meta['epoch']} (best={best_epoch})"
+                        )
+                    self.params, self.state = best_snapshot
+                    return history
                 start_epoch = meta["epoch"] + 1
                 if verbose:
                     print(
@@ -336,7 +346,7 @@ class Trainer:
             ):
                 self._save_fit_checkpoint(
                     checkpoint_dir, epoch, best_epoch, best_val_loss,
-                    best_snapshot, history,
+                    best_snapshot, history, stop,
                 )
             if stop:
                 if verbose:
@@ -351,28 +361,36 @@ class Trainer:
     # Preemption-safe fit checkpointing
     # ------------------------------------------------------------------
 
-    def _fit_ckpt_paths(self, directory: str) -> tuple[str, str]:
+    def _fit_ckpt_path(self, directory: str) -> str:
         import os
 
-        return (
-            os.path.join(directory, "fit_state.npz"),
-            os.path.join(directory, "fit_meta.json"),
-        )
+        return os.path.join(directory, "fit_state.npz")
 
     def _save_fit_checkpoint(
-        self, directory, epoch, best_epoch, best_val_loss, best_snapshot, history
+        self, directory, epoch, best_epoch, best_val_loss, best_snapshot,
+        history, stopped_early,
     ) -> None:
+        """One atomic file: arrays AND bookkeeping (a meta-in-sidecar split
+        would leave state/meta from different epochs after a preemption
+        between the two writes — resume would silently re-apply an epoch)."""
         import json
-        import os
+
+        import numpy as np
 
         from connectome_gnn_tpu.train.checkpoint import save_checkpoint
 
         best_params, best_state = (
             best_snapshot if best_snapshot is not None else (self.params, self.state)
         )
-        state_path, meta_path = self._fit_ckpt_paths(directory)
+        meta = {
+            "epoch": epoch,
+            "best_epoch": best_epoch,
+            "best_val_loss": best_val_loss,
+            "history": history,
+            "stopped_early": stopped_early,
+        }
         save_checkpoint(
-            state_path,
+            self._fit_ckpt_path(directory),
             {
                 "params": self.params,
                 "state": self.state,
@@ -380,21 +398,11 @@ class Trainer:
                 "rng": self._rng,
                 "best_params": best_params,
                 "best_state": best_state,
+                "meta": np.frombuffer(
+                    json.dumps(meta).encode(), dtype=np.uint8
+                ),
             },
         )
-        # meta second: a checkpoint "exists" only once meta lands (atomic)
-        tmp = f"{meta_path}.tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "epoch": epoch,
-                    "best_epoch": best_epoch,
-                    "best_val_loss": best_val_loss,
-                    "history": history,
-                },
-                f,
-            )
-        os.replace(tmp, meta_path)
 
     def _restore_fit_checkpoint(self, directory) -> Optional[dict]:
         """Restore fit state from ``directory``; returns the meta dict, or
@@ -404,11 +412,9 @@ class Trainer:
 
         from connectome_gnn_tpu.train.checkpoint import restore_checkpoint
 
-        state_path, meta_path = self._fit_ckpt_paths(directory)
-        if not (os.path.exists(meta_path) and os.path.exists(state_path)):
+        path = self._fit_ckpt_path(directory)
+        if not os.path.exists(path):
             return None
-        with open(meta_path) as f:
-            meta = json.load(f)
         template = {
             "params": self.params,
             "state": self.state,
@@ -416,12 +422,16 @@ class Trainer:
             "rng": self._rng,
             "best_params": self.params,
             "best_state": self.state,
+            "meta": 0,  # shape-free scalar leaf: restored verbatim
+                        # (None would be an empty subtree, not a leaf)
         }
-        tree = restore_checkpoint(state_path, template)
+        tree = restore_checkpoint(path, template)
         self.params = tree["params"]
         self.state = tree["state"]
         self.opt_state = tree["opt_state"]
         self._rng = tree["rng"]
         self._best_params = tree["best_params"]
         self._best_state = tree["best_state"]
-        return meta
+        import numpy as np
+
+        return json.loads(np.asarray(tree["meta"]).tobytes().decode())

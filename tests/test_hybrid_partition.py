@@ -141,23 +141,81 @@ class TestShardedHybridTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
 
-    def test_2d_mesh_hybrid_cohort(self, cpu_devices):
-        """Hybrid shards compose with the 2-D data × edge step."""
+    def test_2d_mesh_hybrid_cohort_matches_block_diag_oracle(self, cpu_devices):
+        """The full 2-D × hybrid composition (data × edge psums + halo
+        ppermute + remainder all_to_all in one program) must reproduce a
+        single-device step on the block-diagonal hybrid cohort exactly —
+        the equivalence-chain test the repo convention requires."""
+        from connectome_gnn_tpu.ops import hybrid_block_diag
+        from connectome_gnn_tpu.parallel import partition_hybrid_cohort
+
         mesh = create_mesh(shape=(2, 4), axis_names=("data", "edge"))
-        model = ShardedBandedGCN(in_channels=5, hidden_dim=16, num_layers=2)
+        model = ShardedBandedGCN(
+            in_channels=5, hidden_dim=16, num_layers=2, dropout=0.0
+        )
         params, state = model.init(jax.random.PRNGKey(0))
-        shards = []
-        for i in range(2):
-            g, labels, h = _graph(seed=50 + i)
-            shards.append(partition_hybrid(h, g.node_features, 4, labels=labels))
-        stacked = stack_partitioned(shards)
-        opt = optax.adam(1e-2)
+        subjects = [_graph(seed=50 + i) for i in range(2)]
+        stacked = partition_hybrid_cohort(
+            [s[2] for s in subjects],
+            [s[0].node_features for s in subjects],
+            4,
+            labels=[s[1] for s in subjects],
+        )
+        opt = optax.sgd(1e-1)
         step = make_banded_train_step_2d(model, opt, mesh)
-        opt_state = opt.init(params)
-        losses = []
-        for i in range(8):
-            params, state, opt_state, loss, n = step(
-                params, state, opt_state, jax.random.PRNGKey(i), stacked
+        new_params, _, _, loss, n = step(
+            params, state, opt.init(params), jax.random.PRNGKey(0), stacked
+        )
+        assert int(n) == sum(s[0].num_nodes for s in subjects)
+
+        combined, valid = hybrid_block_diag([s[2] for s in subjects])
+        x = jnp.concatenate(
+            [jnp.asarray(s[0].node_features, jnp.float32) for s in subjects]
+        )
+        y = jnp.concatenate([jnp.asarray(s[1]) for s in subjects])
+        single = BandedNodeGCN(
+            in_channels=5, hidden_dim=16, num_layers=2, dropout=0.0
+        )
+
+        def loss_fn(p):
+            logits, _ = single.apply(
+                p, state, combined, x, node_mask=valid, train=True
             )
-            losses.append(float(loss))
-        assert losses[-1] < losses[0]
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.mean(ce)
+
+        oracle_loss, oracle_grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(loss), float(oracle_loss), rtol=1e-4)
+        expected = optax.apply_updates(
+            params, opt.update(oracle_grads, opt.init(params), params)[0]
+        )
+        for p_new, p_exp in zip(
+            jax.tree_util.tree_leaves(new_params),
+            jax.tree_util.tree_leaves(expected),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p_new), np.asarray(p_exp), rtol=1e-3, atol=1e-4
+            )
+
+    def test_cohort_capacity_unification(self, cpu_devices):
+        """Subjects whose derived remainder paddings differ must still
+        stack (capacities are probed and pinned to the worst case)."""
+        from connectome_gnn_tpu.parallel import partition_hybrid_cohort
+
+        subjects = [
+            _graph(seed=60, shortcut_frac=0.05),
+            _graph(seed=61, shortcut_frac=0.35),  # far more shortcuts
+        ]
+        stacked = partition_hybrid_cohort(
+            [s[2] for s in subjects],
+            [s[0].node_features for s in subjects],
+            4,
+            labels=[s[1] for s in subjects],
+        )
+        assert stacked.rem_weights.shape[0] == 2  # data axis stacked
+        # conservation per subject
+        for i, (g, _, _) in enumerate(subjects):
+            total = float(np.asarray(stacked.banded.band[i]).sum()) + float(
+                np.asarray(stacked.rem_weights[i]).sum()
+            )
+            assert np.isclose(total, g.edge_weight.sum(), rtol=1e-5)

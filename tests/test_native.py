@@ -146,17 +146,28 @@ class TestSpeed:
         w = rng.random(src.shape[0], np.float32)
         nb = n // block
 
-        t0 = time.perf_counter()
-        band = np.zeros((nb, 2 * W + 1, block, block), np.float32)
-        native.band_pack(src, dst, w, band, W)
-        t_native = time.perf_counter() - t0
-
         rb = dst // block
         d = src // block - rb
-        t0 = time.perf_counter()
+        # warm (pre-faulted) buffers + min-of-3 each: cold runs are
+        # page-fault-bound for BOTH paths and single timings flake under
+        # scheduler noise
+        band = np.zeros((nb, 2 * W + 1, block, block), np.float32)
         oracle = np.zeros_like(band)
-        np.add.at(oracle, (rb, d + W, dst % block, src % block), w)
-        t_numpy = time.perf_counter() - t0
 
+        def t_nat():
+            band[:] = 0
+            t0 = time.perf_counter()
+            native.band_pack(src, dst, w, band, W)
+            return time.perf_counter() - t0
+
+        def t_np():
+            oracle[:] = 0
+            t0 = time.perf_counter()
+            np.add.at(oracle, (rb, d + W, dst % block, src % block), w)
+            return time.perf_counter() - t0
+
+        t_native = min(t_nat() for _ in range(3))
+        t_numpy = min(t_np() for _ in range(3))
         np.testing.assert_array_equal(band, oracle)
-        assert t_native < t_numpy  # typically 10-50×
+        # measured ~4-6× on this host; 1.5× margin absorbs noise
+        assert t_native * 1.5 < t_numpy

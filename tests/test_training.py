@@ -224,9 +224,6 @@ class TestFitCheckpointResume:
         assert len(hist["train_loss"]) == 2
 
     def test_checkpoint_every_and_final_write(self, tmp_path):
-        import json
-        import os
-
         ckpt = str(tmp_path / "ck2")
         tr, va = self._loaders()
         trainer = make_trainer(seed=2)
@@ -234,7 +231,32 @@ class TestFitCheckpointResume:
             tr, va, num_epochs=5, patience=10, verbose=False,
             checkpoint_dir=ckpt, checkpoint_every=2,
         )
-        with open(os.path.join(ckpt, "fit_meta.json")) as f:
-            meta = json.load(f)
+        meta = make_trainer(seed=2)._restore_fit_checkpoint(ckpt)
         assert meta["epoch"] == 5  # final epoch always checkpointed
         assert len(meta["history"]["train_loss"]) == 5
+        assert not meta["stopped_early"]
+
+    def test_resume_after_early_stop_trains_no_extra_epochs(self, tmp_path):
+        """Re-running the same preemptible job script after the run
+        genuinely finished must be a no-op, not train one more epoch."""
+        ckpt = str(tmp_path / "ck3")
+        tr, va = self._loaders()
+        trainer = make_trainer(seed=4)
+        hist = trainer.fit(
+            tr, va, num_epochs=50, patience=1, verbose=False,
+            checkpoint_dir=ckpt,
+        )
+        stopped_at = len(hist["train_loss"])
+        assert stopped_at < 50  # patience=1 stops early on this config
+
+        again = make_trainer(seed=4)
+        hist2 = again.fit(
+            tr, va, num_epochs=50, patience=1, verbose=False,
+            checkpoint_dir=ckpt, resume=True,
+        )
+        assert len(hist2["train_loss"]) == stopped_at
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.params),
+            jax.tree_util.tree_leaves(again.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
