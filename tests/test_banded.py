@@ -356,3 +356,23 @@ class TestShardedBandedTraining:
             np.testing.assert_allclose(
                 np.asarray(p_new), np.asarray(p_exp), rtol=1e-3, atol=1e-4
             )
+
+
+class TestBandedPallas:
+    def test_matches_xla_oracle_interpret(self):
+        """Pallas banded SpMM == XLA banded path (interpret mode on CPU)."""
+        import jax.numpy as jnp
+        from connectome_gnn_tpu.data import generate_spatial_graph
+        from connectome_gnn_tpu.ops import banded_spmm, to_banded
+        from connectome_gnn_tpu.ops.banded_pallas import banded_spmm_pallas
+
+        g = generate_spatial_graph(700, degree=6, band=40, num_features=16,
+                                   seed=3)
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        x = jnp.asarray(g.node_features)
+        ref = banded_spmm(a, x)
+        out = banded_spmm_pallas(a, x, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
