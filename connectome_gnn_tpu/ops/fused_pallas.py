@@ -252,7 +252,7 @@ def gcn_forward_auto(model, params: dict, state: dict, batch) -> jnp.ndarray:
     batched matmul wins.  This helper picks per batch shape.
     """
     n = batch.node_features.shape[1]
-    if n <= 128:
+    if n <= 128 and jax.default_backend() == "tpu":
         return fused_gcn_forward(
             params,
             state,

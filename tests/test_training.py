@@ -260,3 +260,23 @@ class TestFitCheckpointResume:
             jax.tree_util.tree_leaves(again.params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPredictFusedServing:
+    def test_dense_fused_matches_coo_predict(self):
+        """Serving path: fused dense prediction == COO-layout prediction
+        (and == non-fused dense), graph-for-graph."""
+        graphs = generate_dataset(num_subjects=24, num_regions=30, seed=11)
+        trainer = make_trainer(seed=5)
+        coo = ConnectomeDataLoader(graphs, batch_size=8, shuffle=False)
+        dense = ConnectomeDataLoader(
+            graphs, batch_size=8, shuffle=False, layout="dense"
+        )
+        p_coo = trainer.predict(coo)
+        p_fused = trainer.predict(dense, prefer_fused=True)
+        p_plain = trainer.predict(dense, prefer_fused=False)
+        assert p_fused.shape == (24, 2)
+        np.testing.assert_allclose(p_fused, p_plain, rtol=1e-4, atol=1e-5)
+        # cross-LAYOUT comparison: COO segment-sum vs dense matmul reorder
+        # floats; observed up to ~3e-3 relative on TPU
+        np.testing.assert_allclose(p_fused, p_coo, rtol=1e-2, atol=1e-3)
