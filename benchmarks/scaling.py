@@ -186,10 +186,88 @@ def bench_banded(devices, nodes_per_shard=16384, band=512, iters=10):
     return results
 
 
+def bench_hybrid(devices, nodes_per_shard=16384, band=512,
+                 shortcut_frac=0.1, iters=10):
+    """Sharded hybrid (band halo + all_to_all remainder) forward scaling."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from connectome_gnn_tpu.data import generate_spatial_graph
+    from connectome_gnn_tpu.ops import to_hybrid
+    from connectome_gnn_tpu.parallel import (
+        ShardedBandedGCN,
+        create_mesh,
+        partition_hybrid,
+    )
+
+    results = {}
+    d = 1
+    while d <= len(devices):
+        n = nodes_per_shard * d
+        g = generate_spatial_graph(
+            n, degree=12, band=band, seed=0, shortcut_frac=shortcut_frac
+        )
+        edges = g.num_edges
+        h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight, n,
+                      block=128, bandwidth=-(-band // 128))
+
+        model = ShardedBandedGCN(in_channels=5, hidden_dim=64, num_layers=3)
+        params, state = model.init(jax.random.PRNGKey(0))
+        mesh = create_mesh(shape=(d,), axis_names=("edge",), devices=devices[:d])
+        ph = partition_hybrid(h, g.node_features, d)
+
+        def make(k, model=model, mesh=mesh, params=params, state=state, ph=ph):
+            @jax.jit
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P("edge")),
+                out_specs=P(),
+            )
+            def looped(params, state, stacked):
+                shard = jax.tree_util.tree_map(lambda x: x[0], stacked)
+
+                def body(_, v):
+                    s2 = dataclasses.replace(
+                        shard,
+                        banded=dataclasses.replace(
+                            shard.banded, node_features=v
+                        ),
+                    )
+                    logits, _ = model.apply_shard(
+                        params, state, s2, axis_name="edge"
+                    )
+                    scale = 1.0 + 1e-6 * jnp.tanh(jnp.mean(logits))
+                    return v * scale
+
+                out = jax.lax.fori_loop(0, k, body, shard.node_features)
+                return jax.lax.psum(jnp.sum(out), "edge")
+
+            return jax.jit(
+                lambda p, s, b: looped(p, s, b)
+            ).lower(params, state, ph).compile()
+
+        dt = _timed_pair(make, (params, state, ph), iters)
+        results[d] = {
+            "edges_per_s": 3 * edges / dt,
+            "per_device": 3 * edges / dt / d,
+        }
+        d *= 2
+
+    base = results[1]["per_device"]
+    for d, r in results.items():
+        r["efficiency"] = r["per_device"] / base
+    return results
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
-    parser.add_argument("--mode", choices=["dp", "banded"], default="dp")
+    parser.add_argument("--mode", choices=["dp", "banded", "hybrid"], default="dp")
     args = parser.parse_args()
 
     import jax
@@ -207,9 +285,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    results = (
-        bench_dp(devices) if args.mode == "dp" else bench_banded(devices)
-    )
+    bench = {"dp": bench_dp, "banded": bench_banded, "hybrid": bench_hybrid}
+    results = bench[args.mode](devices)
     metric = "graphs_per_s" if args.mode == "dp" else "edges_per_s"
     print(f"{'devices':>8} {metric:>16} {'per-device':>14} {'efficiency':>11}")
     for d, r in results.items():
