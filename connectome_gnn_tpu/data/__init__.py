@@ -7,7 +7,11 @@ from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
 from connectome_gnn_tpu.data.prefetch import PrefetchIterator, PrefetchLoader
-from connectome_gnn_tpu.data.sampling import sample_subgraph
+from connectome_gnn_tpu.data.sampling import (
+    NeighborSampler,
+    sample_subgraph,
+    sample_subgraph_fast,
+)
 from connectome_gnn_tpu.data.synthetic import (
     TRAIT_NAMES,
     generate_connectome,
@@ -31,7 +35,9 @@ __all__ = [
     "graph_from_adjacency",
     "load_dataset",
     "save_dataset",
+    "NeighborSampler",
     "sample_subgraph",
+    "sample_subgraph_fast",
     "generate_connectome",
     "generate_dataset",
     "generate_spatial_graph",

@@ -96,3 +96,76 @@ def sample_subgraph(
         subject_id=f"{graph.subject_id}-sub{len(node_ids)}",
     )
     return subgraph, node_ids
+
+
+class NeighborSampler:
+    """Reusable k-hop fanout sampler over one giant graph.
+
+    Builds the receiver-grouped edge index ONCE (the dominant cost of a
+    single :func:`sample_subgraph_fast` call at giant scale is re-sorting
+    the edge list), then every :meth:`sample` runs just the native C++
+    traversal — the per-step minibatch producer for giant-graph training.
+
+    Same traversal semantics and return contract as
+    :func:`sample_subgraph` (frontier expansion over in-edges, seeds-first
+    node order, kept edges), but draws come from a splitmix64 stream —
+    uniform-without-replacement yet NOT numpy's ``Generator.choice``
+    stream.  Use :func:`sample_subgraph` when numpy-seed reproducibility
+    matters.  Deterministic for a given ``seed``; falls back to the numpy
+    path when the native library is unavailable.
+    """
+
+    def __init__(self, graph: ConnectomeGraph):
+        self.graph = graph
+        src, dst = graph.edge_index
+        self._src = src.astype(np.int64)
+        self._order = np.argsort(dst, kind="stable").astype(np.int64)
+        dst_sorted = dst[self._order]
+        self._starts = np.searchsorted(dst_sorted, np.arange(graph.num_nodes))
+        self._ends = np.searchsorted(
+            dst_sorted, np.arange(graph.num_nodes), side="right"
+        )
+
+    def sample(
+        self, seed_nodes: Sequence[int], fanout: Sequence[int], seed: int = 0
+    ) -> tuple[ConnectomeGraph, np.ndarray]:
+        from connectome_gnn_tpu import native
+
+        graph = self.graph
+        if not native.AVAILABLE:
+            return sample_subgraph(
+                graph, seed_nodes, fanout, np.random.default_rng(seed)
+            )
+        seeds = np.asarray(
+            list(dict.fromkeys(int(s) for s in seed_nodes)), np.int64
+        )
+        node_ids, kept = native.sample_subgraph(
+            self._order, self._starts, self._ends, self._src,
+            graph.num_nodes, graph.num_edges,
+            seeds, np.asarray(fanout, np.int64), seed,
+        )
+
+        src, dst = graph.edge_index
+        relabel = np.full(graph.num_nodes, -1, np.int64)
+        relabel[node_ids] = np.arange(len(node_ids))
+        subgraph = ConnectomeGraph(
+            node_features=graph.node_features[node_ids],
+            edge_index=np.stack(
+                [relabel[src[kept]], relabel[dst[kept]]]
+            ).astype(np.int32),
+            edge_weight=graph.edge_weight[kept],
+            label=graph.label,
+            subject_id=f"{graph.subject_id}-sub{len(node_ids)}",
+        )
+        return subgraph, node_ids
+
+
+def sample_subgraph_fast(
+    graph: ConnectomeGraph,
+    seed_nodes: Sequence[int],
+    fanout: Sequence[int],
+    seed: int = 0,
+) -> tuple[ConnectomeGraph, np.ndarray]:
+    """One-shot native k-hop sampling (see :class:`NeighborSampler`,
+    which amortizes the index build across repeated samples)."""
+    return NeighborSampler(graph).sample(seed_nodes, fanout, seed)

@@ -65,6 +65,12 @@ def _build_and_load() -> ctypes.CDLL:
     lib.cgt_band_pack.restype = None
     lib.cgt_dense_pack.argtypes = [c_i64, p_i64, p_i64, p_f32, c_i64, p_f32]
     lib.cgt_dense_pack.restype = None
+    lib.cgt_sample_subgraph.argtypes = [
+        c_i64, c_i64, p_i64, p_i64, p_i64, p_i64,  # graph CSR + senders
+        c_i64, p_i64, c_i64, p_i64,                # seeds, fanout
+        ctypes.c_uint64, p_i64, p_i64, p_i64, p_i64,
+    ]
+    lib.cgt_sample_subgraph.restype = c_i64
     return lib
 
 
@@ -116,6 +122,44 @@ def band_pack(
         int(bandwidth),
         band,
     )
+
+
+def sample_subgraph(
+    order: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    src: np.ndarray,
+    num_nodes: int,
+    num_edges: int,
+    seeds: np.ndarray,
+    fanout: np.ndarray,
+    rng_seed: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-hop fanout sampling over a receiver-grouped edge index.
+
+    Returns ``(node_ids, kept_edge_ids)`` — discovery-ordered nodes
+    (seeds first) and ascending kept edge ids.  Uniform-without-
+    replacement draws from a splitmix64 stream (NOT numpy's) — see
+    ``data/sampling.py`` for when each path applies.
+    """
+    out_nodes = np.empty(num_nodes, np.int64)
+    out_edges = np.empty(max(num_edges, 1), np.int64)
+    n_nodes = np.zeros(1, np.int64)
+    n_edges = np.zeros(1, np.int64)
+    rc = _lib.cgt_sample_subgraph(
+        num_nodes, num_edges,
+        np.ascontiguousarray(order, np.int64),
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(ends, np.int64),
+        np.ascontiguousarray(src, np.int64),
+        seeds.shape[0], np.ascontiguousarray(seeds, np.int64),
+        len(fanout), np.ascontiguousarray(fanout, np.int64),
+        int(rng_seed) & 0xFFFFFFFFFFFFFFFF,
+        out_nodes, n_nodes, out_edges, n_edges,
+    )
+    if rc != 0:
+        raise ValueError("seed node out of range")
+    return out_nodes[: n_nodes[0]].copy(), out_edges[: n_edges[0]].copy()
 
 
 def dense_pack(

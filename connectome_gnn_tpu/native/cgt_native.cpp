@@ -92,4 +92,82 @@ void cgt_dense_pack(int64_t e, const int64_t* senders,
   }
 }
 
+// k-hop fanout neighbor sampling (GraphSAGE-style), the C++ counterpart
+// of connectome_gnn_tpu/data/sampling.py::sample_subgraph.
+//
+// Same traversal semantics (frontier expansion over in-edges grouped by
+// receiver, up to fanout[h] sampled in-edges per node at hop h, nodes
+// recorded in discovery order with seeds first, kept edge ids returned
+// sorted-unique); sampling uses a splitmix64 PRNG via partial
+// Fisher-Yates, so draws are uniform-without-replacement but NOT the
+// numpy Generator stream — use the numpy path when bitwise numpy parity
+// matters, this one for throughput.
+//
+// order/starts/ends: receiver-grouped edge index (order[starts[v]..ends[v])
+// are edge ids with receiver v); src: edge senders [E].
+// out_nodes (cap num_nodes) and out_edges (cap E) receive the results;
+// returns 0 on success.
+static inline uint64_t splitmix64(uint64_t* s) {
+  uint64_t z = (*s += 0x9E3779B97F4A7C15ull);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+
+extern "C" int64_t cgt_sample_subgraph(
+    int64_t num_nodes, int64_t num_edges, const int64_t* order,
+    const int64_t* starts, const int64_t* ends, const int64_t* src,
+    int64_t num_seeds, const int64_t* seeds, int64_t num_hops,
+    const int64_t* fanout, uint64_t rng_seed, int64_t* out_nodes,
+    int64_t* out_n_nodes, int64_t* out_edges, int64_t* out_n_edges) {
+  std::vector<int64_t> visited(num_nodes, -1);
+  std::vector<char> edge_kept(num_edges, 0);
+  std::vector<int64_t> frontier, next_frontier, scratch;
+  int64_t n_nodes = 0;
+
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    int64_t s = seeds[i];
+    if (s < 0 || s >= num_nodes) return 1;
+    if (visited[s] < 0) {
+      visited[s] = n_nodes;
+      out_nodes[n_nodes++] = s;
+      frontier.push_back(s);
+    }
+  }
+
+  uint64_t rng = rng_seed ^ 0xD1B54A32D192ED03ull;
+  for (int64_t hop = 0; hop < num_hops && !frontier.empty(); ++hop) {
+    const int64_t f = fanout[hop];
+    next_frontier.clear();
+    for (int64_t node : frontier) {
+      const int64_t lo = starts[node], hi = ends[node];
+      const int64_t deg = hi - lo;
+      scratch.assign(order + lo, order + hi);
+      int64_t take = deg < f ? deg : f;
+      for (int64_t k = 0; k < take; ++k) {
+        // partial Fisher-Yates: uniform without replacement
+        int64_t j = k + (int64_t)(splitmix64(&rng) % (uint64_t)(deg - k));
+        std::swap(scratch[k], scratch[j]);
+        const int64_t e = scratch[k];
+        edge_kept[e] = 1;
+        const int64_t nbr = src[e];
+        if (visited[nbr] < 0) {
+          visited[nbr] = n_nodes;
+          out_nodes[n_nodes++] = nbr;
+          next_frontier.push_back(nbr);
+        }
+      }
+    }
+    frontier.swap(next_frontier);
+  }
+
+  int64_t n_edges = 0;
+  for (int64_t e = 0; e < num_edges; ++e) {
+    if (edge_kept[e]) out_edges[n_edges++] = e;  // ascending == sorted set
+  }
+  *out_n_nodes = n_nodes;
+  *out_n_edges = n_edges;
+  return 0;
+}
+
 }  // extern "C"
