@@ -453,7 +453,7 @@ def _sage():
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,T")
+    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,5d,T")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
