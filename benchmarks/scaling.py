@@ -2,13 +2,15 @@
 """Scaling-efficiency harness: throughput vs device count.
 
 Measures the north-star scaling metric (BASELINE.json: edges/s scaling
-1 chip → 1 host → N hosts, target >80 % efficiency) for the two
+1 chip → 1 host → N hosts, target >80 % efficiency) for the three
 parallel modes:
 
 * ``dp``     — data-parallel training throughput (graphs/s) over the
                ``data`` axis at shard counts 1, 2, 4, ..., D;
 * ``banded`` — halo-exchange sharded banded forward (edges/s) over the
-               ``edge`` axis.
+               ``edge`` axis;
+* ``hybrid`` — banded halo + all_to_all shortcut-remainder exchange
+               (small-world giant graphs).
 
 On this environment only one real TPU chip is visible, so multi-device
 rows use virtual CPU devices (run with
@@ -20,6 +22,7 @@ harness reports honest per-chip scaling.
 Usage:
     python benchmarks/scaling.py --cpu --mode dp
     python benchmarks/scaling.py --cpu --mode banded
+    python benchmarks/scaling.py --cpu --mode hybrid
 """
 
 from __future__ import annotations
@@ -115,7 +118,13 @@ def bench_dp(devices, graphs_per_shard=32, iters=20):
     return results
 
 
-def bench_banded(devices, nodes_per_shard=16384, band=512, iters=10):
+def _bench_edge_sharded(devices, *, hybrid, nodes_per_shard=16384,
+                        band=512, shortcut_frac=0.1, iters=10):
+    """Shared weak-scaling loop for the edge-sharded giant-graph modes.
+
+    ``hybrid=False``: pure band (halo ppermute only).  ``hybrid=True``:
+    band + shortcut remainder (halo ppermute + static all_to_all).
+    """
     import dataclasses
     from functools import partial
 
@@ -124,28 +133,48 @@ def bench_banded(devices, nodes_per_shard=16384, band=512, iters=10):
     from jax.sharding import PartitionSpec as P
 
     from connectome_gnn_tpu.data import generate_spatial_graph
-    from connectome_gnn_tpu.ops import to_banded
+    from connectome_gnn_tpu.ops import to_banded, to_hybrid
     from connectome_gnn_tpu.parallel import (
         ShardedBandedGCN,
         create_mesh,
         partition_banded,
+        partition_hybrid,
     )
 
     results = {}
     d = 1
     while d <= len(devices):
         n = nodes_per_shard * d
-        g = generate_spatial_graph(n, degree=12, band=band, seed=0)
+        g = generate_spatial_graph(
+            n, degree=12, band=band, seed=0,
+            shortcut_frac=shortcut_frac if hybrid else 0.0,
+        )
         edges = g.num_edges
-        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight, n,
-                      block=128)
+        if hybrid:
+            m = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight, n,
+                          block=128, bandwidth=-(-band // 128))
+            shard_input = partition_hybrid(m, g.node_features, d)
+
+            def with_features(shard, v):
+                return dataclasses.replace(
+                    shard, banded=dataclasses.replace(
+                        shard.banded, node_features=v
+                    )
+                )
+        else:
+            m = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight, n,
+                          block=128)
+            shard_input = partition_banded(m, g.node_features, d)
+
+            def with_features(shard, v):
+                return dataclasses.replace(shard, node_features=v)
 
         model = ShardedBandedGCN(in_channels=5, hidden_dim=64, num_layers=3)
         params, state = model.init(jax.random.PRNGKey(0))
         mesh = create_mesh(shape=(d,), axis_names=("edge",), devices=devices[:d])
-        pb = partition_banded(a, g.node_features, d)
 
-        def make(k, model=model, mesh=mesh, params=params, state=state, pb=pb):
+        def make(k, model=model, mesh=mesh, params=params, state=state,
+                 shard_input=shard_input, with_features=with_features):
             @jax.jit
             @partial(
                 jax.shard_map,
@@ -157,9 +186,9 @@ def bench_banded(devices, nodes_per_shard=16384, band=512, iters=10):
                 shard = jax.tree_util.tree_map(lambda x: x[0], stacked)
 
                 def body(_, v):
-                    s2 = dataclasses.replace(shard, node_features=v)
                     logits, _ = model.apply_shard(
-                        params, state, s2, axis_name="edge"
+                        params, state, with_features(shard, v),
+                        axis_name="edge",
                     )
                     # nonlinear scalar feedback chains iterations without
                     # changing shapes (logit width != feature width)
@@ -171,9 +200,9 @@ def bench_banded(devices, nodes_per_shard=16384, band=512, iters=10):
 
             return jax.jit(
                 lambda p, s, b: looped(p, s, b)
-            ).lower(params, state, pb).compile()
+            ).lower(params, state, shard_input).compile()
 
-        dt = _timed_pair(make, (params, state, pb), iters)
+        dt = _timed_pair(make, (params, state, shard_input), iters)
         results[d] = {
             "edges_per_s": 3 * edges / dt,
             "per_device": 3 * edges / dt / d,
@@ -186,82 +215,13 @@ def bench_banded(devices, nodes_per_shard=16384, band=512, iters=10):
     return results
 
 
-def bench_hybrid(devices, nodes_per_shard=16384, band=512,
-                 shortcut_frac=0.1, iters=10):
+def bench_banded(devices, **kw):
+    return _bench_edge_sharded(devices, hybrid=False, **kw)
+
+
+def bench_hybrid(devices, **kw):
     """Sharded hybrid (band halo + all_to_all remainder) forward scaling."""
-    import dataclasses
-    from functools import partial
-
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
-    from connectome_gnn_tpu.data import generate_spatial_graph
-    from connectome_gnn_tpu.ops import to_hybrid
-    from connectome_gnn_tpu.parallel import (
-        ShardedBandedGCN,
-        create_mesh,
-        partition_hybrid,
-    )
-
-    results = {}
-    d = 1
-    while d <= len(devices):
-        n = nodes_per_shard * d
-        g = generate_spatial_graph(
-            n, degree=12, band=band, seed=0, shortcut_frac=shortcut_frac
-        )
-        edges = g.num_edges
-        h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight, n,
-                      block=128, bandwidth=-(-band // 128))
-
-        model = ShardedBandedGCN(in_channels=5, hidden_dim=64, num_layers=3)
-        params, state = model.init(jax.random.PRNGKey(0))
-        mesh = create_mesh(shape=(d,), axis_names=("edge",), devices=devices[:d])
-        ph = partition_hybrid(h, g.node_features, d)
-
-        def make(k, model=model, mesh=mesh, params=params, state=state, ph=ph):
-            @jax.jit
-            @partial(
-                jax.shard_map,
-                mesh=mesh,
-                in_specs=(P(), P(), P("edge")),
-                out_specs=P(),
-            )
-            def looped(params, state, stacked):
-                shard = jax.tree_util.tree_map(lambda x: x[0], stacked)
-
-                def body(_, v):
-                    s2 = dataclasses.replace(
-                        shard,
-                        banded=dataclasses.replace(
-                            shard.banded, node_features=v
-                        ),
-                    )
-                    logits, _ = model.apply_shard(
-                        params, state, s2, axis_name="edge"
-                    )
-                    scale = 1.0 + 1e-6 * jnp.tanh(jnp.mean(logits))
-                    return v * scale
-
-                out = jax.lax.fori_loop(0, k, body, shard.node_features)
-                return jax.lax.psum(jnp.sum(out), "edge")
-
-            return jax.jit(
-                lambda p, s, b: looped(p, s, b)
-            ).lower(params, state, ph).compile()
-
-        dt = _timed_pair(make, (params, state, ph), iters)
-        results[d] = {
-            "edges_per_s": 3 * edges / dt,
-            "per_device": 3 * edges / dt / d,
-        }
-        d *= 2
-
-    base = results[1]["per_device"]
-    for d, r in results.items():
-        r["efficiency"] = r["per_device"] / base
-    return results
+    return _bench_edge_sharded(devices, hybrid=True, **kw)
 
 
 def main() -> None:

@@ -52,13 +52,8 @@ def sample_subgraph(
     if rng is None:
         rng = np.random.default_rng()
     src, dst = graph.edge_index
-    # in-neighbor adjacency: edges grouped by receiver
-    order = np.argsort(dst, kind="stable")
-    dst_sorted = dst[order]
-    starts = np.searchsorted(dst_sorted, np.arange(graph.num_nodes))
-    ends = np.searchsorted(dst_sorted, np.arange(graph.num_nodes), side="right")
-
-    seeds = np.asarray(list(dict.fromkeys(int(s) for s in seed_nodes)), np.int64)
+    order, starts, ends = _in_edge_index(graph)
+    seeds = _dedup_seeds(seed_nodes, graph.num_nodes)
     visited = dict((int(s), i) for i, s in enumerate(seeds))
     frontier = list(seeds)
     kept_edges: list[int] = []
@@ -98,6 +93,30 @@ def sample_subgraph(
     return subgraph, node_ids
 
 
+def _in_edge_index(graph: ConnectomeGraph):
+    """Receiver-grouped edge index: ``order[starts[v]:ends[v]]`` are the
+    edge ids whose receiver is ``v``.  Shared by the numpy and native
+    samplers so the traversal contract cannot drift between them."""
+    dst = graph.edge_index[1]
+    order = np.argsort(dst, kind="stable").astype(np.int64)
+    dst_sorted = dst[order]
+    starts = np.searchsorted(dst_sorted, np.arange(graph.num_nodes))
+    ends = np.searchsorted(dst_sorted, np.arange(graph.num_nodes), side="right")
+    return order, starts, ends
+
+
+def _dedup_seeds(seed_nodes, num_nodes: int) -> np.ndarray:
+    """Order-preserving dedup + range validation (both sampler paths must
+    reject bad seeds identically — numpy fancy indexing would silently
+    wrap negatives)."""
+    seeds = np.asarray(
+        list(dict.fromkeys(int(s) for s in seed_nodes)), np.int64
+    )
+    if seeds.size and (seeds.min() < 0 or seeds.max() >= num_nodes):
+        raise ValueError("seed node out of range")
+    return seeds
+
+
 class NeighborSampler:
     """Reusable k-hop fanout sampler over one giant graph.
 
@@ -117,14 +136,8 @@ class NeighborSampler:
 
     def __init__(self, graph: ConnectomeGraph):
         self.graph = graph
-        src, dst = graph.edge_index
-        self._src = src.astype(np.int64)
-        self._order = np.argsort(dst, kind="stable").astype(np.int64)
-        dst_sorted = dst[self._order]
-        self._starts = np.searchsorted(dst_sorted, np.arange(graph.num_nodes))
-        self._ends = np.searchsorted(
-            dst_sorted, np.arange(graph.num_nodes), side="right"
-        )
+        self._src = graph.edge_index[0].astype(np.int64)
+        self._order, self._starts, self._ends = _in_edge_index(graph)
 
     def sample(
         self, seed_nodes: Sequence[int], fanout: Sequence[int], seed: int = 0
@@ -132,13 +145,11 @@ class NeighborSampler:
         from connectome_gnn_tpu import native
 
         graph = self.graph
+        seeds = _dedup_seeds(seed_nodes, graph.num_nodes)
         if not native.AVAILABLE:
             return sample_subgraph(
-                graph, seed_nodes, fanout, np.random.default_rng(seed)
+                graph, seeds, fanout, np.random.default_rng(seed)
             )
-        seeds = np.asarray(
-            list(dict.fromkeys(int(s) for s in seed_nodes)), np.int64
-        )
         node_ids, kept = native.sample_subgraph(
             self._order, self._starts, self._ends, self._src,
             graph.num_nodes, graph.num_edges,

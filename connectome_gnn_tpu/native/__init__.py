@@ -157,8 +157,10 @@ def sample_subgraph(
         int(rng_seed) & 0xFFFFFFFFFFFFFFFF,
         out_nodes, n_nodes, out_edges, n_edges,
     )
-    if rc != 0:
+    if rc == 1:
         raise ValueError("seed node out of range")
+    if rc == 2:
+        raise ValueError("edge sender id out of range (corrupt edge_index)")
     return out_nodes[: n_nodes[0]].copy(), out_edges[: n_edges[0]].copy()
 
 

@@ -121,9 +121,9 @@ extern "C" int64_t cgt_sample_subgraph(
     const int64_t* fanout, uint64_t rng_seed, int64_t* out_nodes,
     int64_t* out_n_nodes, int64_t* out_edges, int64_t* out_n_edges) {
   std::vector<int64_t> visited(num_nodes, -1);
-  std::vector<char> edge_kept(num_edges, 0);
-  std::vector<int64_t> frontier, next_frontier, scratch;
-  int64_t n_nodes = 0;
+  std::vector<int64_t> kept;  // per-node expansions are distinct edges and
+  std::vector<int64_t> frontier, next_frontier, scratch;  // each node is
+  int64_t n_nodes = 0;  // expanded once → no dedup needed, just a sort
 
   for (int64_t i = 0; i < num_seeds; ++i) {
     int64_t s = seeds[i];
@@ -149,8 +149,11 @@ extern "C" int64_t cgt_sample_subgraph(
         int64_t j = k + (int64_t)(splitmix64(&rng) % (uint64_t)(deg - k));
         std::swap(scratch[k], scratch[j]);
         const int64_t e = scratch[k];
-        edge_kept[e] = 1;
+        kept.push_back(e);
         const int64_t nbr = src[e];
+        // corrupt edge lists must fail loudly like the numpy path, not
+        // write out of bounds
+        if (nbr < 0 || nbr >= num_nodes) return 2;
         if (visited[nbr] < 0) {
           visited[nbr] = n_nodes;
           out_nodes[n_nodes++] = nbr;
@@ -161,12 +164,12 @@ extern "C" int64_t cgt_sample_subgraph(
     frontier.swap(next_frontier);
   }
 
-  int64_t n_edges = 0;
-  for (int64_t e = 0; e < num_edges; ++e) {
-    if (edge_kept[e]) out_edges[n_edges++] = e;  // ascending == sorted set
-  }
+  // O(K log K) in kept edges, independent of total edge count — the
+  // per-sample cost must scale with the minibatch, not the graph
+  std::sort(kept.begin(), kept.end());
+  for (size_t i = 0; i < kept.size(); ++i) out_edges[i] = kept[i];
   *out_n_nodes = n_nodes;
-  *out_n_edges = n_edges;
+  *out_n_edges = (int64_t)kept.size();
   return 0;
 }
 

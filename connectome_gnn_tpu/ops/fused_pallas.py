@@ -242,17 +242,21 @@ def fused_gcn_forward(
     )
 
 
-def gcn_forward_auto(model, params: dict, state: dict, batch) -> jnp.ndarray:
+def gcn_forward_auto(
+    model, params: dict, state: dict, batch, *, interpret: bool = False
+) -> jnp.ndarray:
     """Inference forward choosing the fastest verified-equivalent path.
 
     Measured on v5e (device-side steady state): the fused kernel matches
     XLA's batched-matmul dense path for small graphs (n ≲ 128) while
     collapsing ~30 dispatches into one (≈10× lower serving latency through
     a remote runtime); for large graphs (n=360, h=256) XLA's pipelined
-    batched matmul wins.  This helper picks per batch shape.
+    batched matmul wins.  This helper picks per batch shape; the fused
+    kernel requires the TPU backend unless ``interpret`` forces the
+    Pallas interpreter (how CPU tests exercise this exact path).
     """
     n = batch.node_features.shape[1]
-    if n <= 128 and jax.default_backend() == "tpu":
+    if n <= 128 and (interpret or jax.default_backend() == "tpu"):
         return fused_gcn_forward(
             params,
             state,
@@ -260,6 +264,7 @@ def gcn_forward_auto(model, params: dict, state: dict, batch) -> jnp.ndarray:
             batch.adj,
             batch.node_mask,
             num_layers=model.num_layers,
+            interpret=interpret,
         )
     logits, _ = model.apply(params, state, batch, train=False)
     return logits

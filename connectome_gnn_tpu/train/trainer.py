@@ -221,7 +221,12 @@ class Trainer:
             "total": total,
         }
 
-    def predict(self, loader: ConnectomeDataLoader, prefer_fused: bool = True):
+    def predict(
+        self,
+        loader: ConnectomeDataLoader,
+        prefer_fused: bool = True,
+        interpret: bool = False,
+    ):
         """Per-graph logits over ``loader`` (eval mode), real graphs only.
 
         Returns a ``[num_real_graphs, num_classes]`` numpy array in loader
@@ -234,12 +239,14 @@ class Trainer:
         through :func:`~connectome_gnn_tpu.ops.fused_pallas.gcn_forward_auto`
         — the whole forward in one ``pallas_call`` where that wins
         (~10× lower dispatch latency through a remote runtime),
-        verified equivalent to the XLA path.
+        verified equivalent to the XLA path.  ``interpret`` forces the
+        Pallas interpreter so CPU tests can exercise the fused path.
         """
         import numpy as np
 
         cache = self.__dict__.setdefault("_predict_cache", {})
-        if prefer_fused not in cache:
+        key = (prefer_fused, interpret)
+        if key not in cache:
             model = self.model
             from connectome_gnn_tpu.models import GCNConnectome
             from connectome_gnn_tpu.ops.fused_pallas import gcn_forward_auto
@@ -249,7 +256,9 @@ class Trainer:
             @jax.jit
             def predict_step(params, state, batch):
                 if fusable and hasattr(batch, "adj"):
-                    return gcn_forward_auto(model, params, state, batch)
+                    return gcn_forward_auto(
+                        model, params, state, batch, interpret=interpret
+                    )
                 logits, _ = model.apply(params, state, batch, train=False)
                 return logits
 
@@ -260,12 +269,12 @@ class Trainer:
                     in_axes=(None, None, 0),
                 )
             )
-            cache[prefer_fused] = (predict_step, predict_step_stacked)
+            cache[key] = (predict_step, predict_step_stacked)
 
         chunks = []
         for batch in loader:
             stacked = batch.label_mask.ndim == 2
-            step = cache[prefer_fused][1] if stacked else cache[prefer_fused][0]
+            step = cache[key][1] if stacked else cache[key][0]
             logits = np.asarray(step(self.params, self.state, batch))
             # real-graph mask, NOT label_mask: unlabeled graphs are the
             # core serving case and must still get predictions

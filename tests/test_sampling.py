@@ -139,6 +139,11 @@ class TestNativeSampler:
     def test_speedup_on_giant_graph(self):
         import time
 
+        from connectome_gnn_tpu import native
+
+        if not native.AVAILABLE:
+            pytest.skip("native library not built — fast path == numpy path")
+
         from connectome_gnn_tpu.data import (
             generate_spatial_graph, sample_subgraph, sample_subgraph_fast)
 

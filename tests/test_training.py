@@ -265,7 +265,10 @@ class TestFitCheckpointResume:
 class TestPredictFusedServing:
     def test_dense_fused_matches_coo_predict(self):
         """Serving path: fused dense prediction == COO-layout prediction
-        (and == non-fused dense), graph-for-graph."""
+        (and == non-fused dense), graph-for-graph.  ``interpret=True``
+        forces the Pallas interpreter so the fused kernel really runs on
+        the CPU-forced test suite (without it the backend gate silently
+        falls back to XLA and this test would be vacuous)."""
         graphs = generate_dataset(num_subjects=24, num_regions=30, seed=11)
         trainer = make_trainer(seed=5)
         coo = ConnectomeDataLoader(graphs, batch_size=8, shuffle=False)
@@ -273,7 +276,7 @@ class TestPredictFusedServing:
             graphs, batch_size=8, shuffle=False, layout="dense"
         )
         p_coo = trainer.predict(coo)
-        p_fused = trainer.predict(dense, prefer_fused=True)
+        p_fused = trainer.predict(dense, prefer_fused=True, interpret=True)
         p_plain = trainer.predict(dense, prefer_fused=False)
         assert p_fused.shape == (24, 2)
         np.testing.assert_allclose(p_fused, p_plain, rtol=1e-4, atol=1e-5)
