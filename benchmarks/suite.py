@@ -113,8 +113,11 @@ def chained_loop_time(fn, x0, iters: int, *consts) -> float:
 
 def bench_small_graph_forward(model_cls=None, fused: bool = True, iters=2000):
     from connectome_gnn_tpu.data import collate_dense, generate_dataset
-    from connectome_gnn_tpu.models import GCNConnectome
-    from connectome_gnn_tpu.ops.fused_pallas import fused_gcn_forward
+    from connectome_gnn_tpu.models import GCNConnectome, GraphSAGEConnectome
+    from connectome_gnn_tpu.ops.fused_pallas import (
+        fused_gcn_forward,
+        fused_sage_forward,
+    )
 
     if model_cls is None:
         model_cls = GCNConnectome
@@ -126,8 +129,14 @@ def bench_small_graph_forward(model_cls=None, fused: bool = True, iters=2000):
     params, state = model.init(jax.random.PRNGKey(0))
 
     if fused:
+        fused_fn = (
+            fused_sage_forward
+            if issubclass(model_cls, GraphSAGEConnectome)
+            else fused_gcn_forward
+        )
+
         def step(x, adj, mask, eps, i):
-            logits = fused_gcn_forward(
+            logits = fused_fn(
                 params, state, x + eps, adj, mask, num_layers=3
             )
             return logits[0, 0]
@@ -426,7 +435,7 @@ def bench_train_step(iters=100):
 BENCHES = {
     "1": ("GCN fwd fused, bs=16 n=84 h=64",
           lambda: bench_small_graph_forward(fused=True)),
-    "2": ("SAGE fwd XLA-dense, bs=16 n=84 h=64",
+    "2": ("SAGE fwd fused, bs=16 n=84 h=64",
           lambda: _sage()),
     "3": ("GCN fwd XLA-dense, bs=64 n=360 h=256",
           bench_large_graphs),
@@ -448,7 +457,7 @@ BENCHES = {
 def _sage():
     from connectome_gnn_tpu.models import GraphSAGEConnectome
 
-    return bench_small_graph_forward(GraphSAGEConnectome, fused=False)
+    return bench_small_graph_forward(GraphSAGEConnectome, fused=True)
 
 
 def main() -> None:

@@ -24,7 +24,12 @@ from connectome_gnn_tpu.ops.banded import (
     to_banded,
     to_hybrid,
 )
-from connectome_gnn_tpu.ops.fused_pallas import fused_gcn_forward, fused_sage_forward, gcn_forward_auto
+from connectome_gnn_tpu.ops.fused_pallas import (
+    forward_auto,
+    fused_gcn_forward,
+    fused_sage_forward,
+    gcn_forward_auto,
+)
 from connectome_gnn_tpu.ops.gcn_norm import GCNNorm, gcn_normalize
 from connectome_gnn_tpu.ops.segment import (
     coo_spmm,
@@ -42,6 +47,7 @@ __all__ = [
     "banded_row_sum",
     "banded_spmm",
     "coo_spmm",
+    "forward_auto",
     "fused_gcn_forward",
     "fused_sage_forward",
     "gcn_forward_auto",

@@ -242,22 +242,50 @@ def fused_gcn_forward(
     )
 
 
-def gcn_forward_auto(
+def _uniform_hidden_width(model, params: dict) -> bool:
+    """Whether every post-input conv layer is ``H → H`` (the fused kernels'
+    weight-stacking precondition); ``2H → H`` for SAGE's concat kernels."""
+    H = params["convs"][-1]["kernel"].shape[1]
+    in_mult = params["convs"][-1]["kernel"].shape[0] // H if model.num_layers > 1 else 1
+    return all(
+        params["convs"][i]["kernel"].shape == (in_mult * H, H)
+        for i in range(1, model.num_layers)
+    )
+
+
+def forward_auto(
     model, params: dict, state: dict, batch, *, interpret: bool = False
 ) -> jnp.ndarray:
-    """Inference forward choosing the fastest verified-equivalent path.
+    """Inference forward choosing the fastest verified-equivalent path,
+    dispatched on the model family (GCN → :func:`fused_gcn_forward`,
+    GraphSAGE → :func:`fused_sage_forward`).
 
-    Measured on v5e (device-side steady state): the fused kernel matches
+    Measured on v5e (device-side steady state): the fused kernels match
     XLA's batched-matmul dense path for small graphs (n ≲ 128) while
     collapsing ~30 dispatches into one (≈10× lower serving latency through
     a remote runtime); for large graphs (n=360, h=256) XLA's pipelined
-    batched matmul wins.  This helper picks per batch shape; the fused
-    kernel requires the TPU backend unless ``interpret`` forces the
-    Pallas interpreter (how CPU tests exercise this exact path).
+    batched matmul wins.  This helper picks per batch shape and model; the
+    fused kernels require the TPU backend unless ``interpret`` forces the
+    Pallas interpreter (how CPU tests exercise this exact path).  Falls
+    back to ``model.apply`` for COO-layout batches, non-uniform hidden
+    widths, or model families without a fused kernel.
     """
-    n = batch.node_features.shape[1]
-    if n <= 128 and (interpret or jax.default_backend() == "tpu"):
-        return fused_gcn_forward(
+    from connectome_gnn_tpu.models import GCNConnectome, GraphSAGEConnectome
+
+    if isinstance(model, GCNConnectome):
+        fused_fn = fused_gcn_forward
+    elif isinstance(model, GraphSAGEConnectome):
+        fused_fn = fused_sage_forward
+    else:
+        fused_fn = None
+    if (
+        fused_fn is not None
+        and hasattr(batch, "adj")
+        and batch.node_features.shape[1] <= 128
+        and _uniform_hidden_width(model, params)
+        and (interpret or jax.default_backend() == "tpu")
+    ):
+        return fused_fn(
             params,
             state,
             batch.node_features,
@@ -268,6 +296,13 @@ def gcn_forward_auto(
         )
     logits, _ = model.apply(params, state, batch, train=False)
     return logits
+
+
+def gcn_forward_auto(
+    model, params: dict, state: dict, batch, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Back-compat alias of :func:`forward_auto` (GCN-only call sites)."""
+    return forward_auto(model, params, state, batch, interpret=interpret)
 
 
 def _fused_sage_kernel(

@@ -235,12 +235,18 @@ class Trainer:
         modes — this is the serving path, the analog of the reference's
         ``evaluate``-as-inference usage (reference train.py:56-74).
 
-        With ``prefer_fused`` (default) dense-layout GCN batches go
-        through :func:`~connectome_gnn_tpu.ops.fused_pallas.gcn_forward_auto`
+        With ``prefer_fused`` (default) dense-layout GCN **and GraphSAGE**
+        batches go through
+        :func:`~connectome_gnn_tpu.ops.fused_pallas.forward_auto`
         — the whole forward in one ``pallas_call`` where that wins
         (~10× lower dispatch latency through a remote runtime),
-        verified equivalent to the XLA path.  ``interpret`` forces the
-        Pallas interpreter so CPU tests can exercise the fused path.
+        verified equivalent to the XLA path.  When ``prefer_fused`` is
+        requested but a batch's layout cannot fuse (COO layout has no
+        dense adjacency), a ``UserWarning`` is emitted once and the XLA
+        path is used.  In mesh mode, stacked batches run sharded over the
+        mesh via ``shard_map`` with the same per-shard auto dispatch
+        (serving gets both sharding and fusion).  ``interpret`` forces
+        the Pallas interpreter so CPU tests can exercise the fused path.
         """
         import numpy as np
 
@@ -248,31 +254,65 @@ class Trainer:
         key = (prefer_fused, interpret)
         if key not in cache:
             model = self.model
-            from connectome_gnn_tpu.models import GCNConnectome
-            from connectome_gnn_tpu.ops.fused_pallas import gcn_forward_auto
+            from connectome_gnn_tpu.ops.fused_pallas import forward_auto
 
-            fusable = prefer_fused and isinstance(model, GCNConnectome)
-
-            @jax.jit
-            def predict_step(params, state, batch):
-                if fusable and hasattr(batch, "adj"):
-                    return gcn_forward_auto(
+            def _forward(params, state, batch):
+                if prefer_fused:
+                    return forward_auto(
                         model, params, state, batch, interpret=interpret
                     )
                 logits, _ = model.apply(params, state, batch, train=False)
                 return logits
 
-            # stacked (sharded-loader) batches: vmap over the device axis
-            predict_step_stacked = jax.jit(
-                jax.vmap(
-                    lambda p, s, b: model.apply(p, s, b, train=False)[0],
-                    in_axes=(None, None, 0),
+            predict_step = jax.jit(_forward)
+
+            if self.mesh is not None:
+                from functools import partial
+
+                from jax.sharding import PartitionSpec as P
+
+                # sharded serving: each device runs the auto-dispatched
+                # (fused where it wins) forward on its own sub-batch
+                @jax.jit
+                @partial(
+                    jax.shard_map,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(self.axis_name)),
+                    out_specs=P(self.axis_name),
+                    # pallas_call outputs carry no vma annotation; this is
+                    # a forward-only map with no collectives to validate
+                    check_vma=False,
                 )
-            )
+                def predict_step_stacked(params, state, stacked):
+                    batch = jax.tree_util.tree_map(lambda a: a[0], stacked)
+                    return _forward(params, state, batch)[None]
+
+            else:
+                # stacked batches without a mesh: vmap over the device axis
+                # (XLA path — vmapping a pallas_call adds a grid dimension
+                # the fused kernels' scratch layout is not written for)
+                predict_step_stacked = jax.jit(
+                    jax.vmap(
+                        lambda p, s, b: model.apply(p, s, b, train=False)[0],
+                        in_axes=(None, None, 0),
+                    )
+                )
             cache[key] = (predict_step, predict_step_stacked)
 
         chunks = []
         for batch in loader:
+            if prefer_fused and not hasattr(batch, "adj"):
+                if not self.__dict__.get("_warned_unfusable"):
+                    import warnings
+
+                    warnings.warn(
+                        "predict(prefer_fused=True) got a COO-layout batch; "
+                        "using the XLA path (build the loader with "
+                        "layout='dense' for fused serving)",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+                    self._warned_unfusable = True
             stacked = batch.label_mask.ndim == 2
             step = cache[key][1] if stacked else cache[key][0]
             logits = np.asarray(step(self.params, self.state, batch))
