@@ -164,6 +164,108 @@ class TestActivationParity:
             )
 
 
+class TestDirectKernelParity:
+    """Close the parity chain's transitive links (round-1 review, Weak #5):
+    reference torch weights transplanted STRAIGHT into the fused Pallas
+    kernels and into the RCM-ordered banded/hybrid path — no intermediate
+    oracle in between."""
+
+    @pytest.mark.parametrize(
+        "ref_cls,kernel_name",
+        [(RefGCN, "fused_gcn_forward"), (RefSAGE, "fused_sage_forward")],
+        ids=["gcn", "sage"],
+    )
+    def test_torch_to_fused_logits(self, ref_cls, kernel_name):
+        """torch eval logits == fused Pallas kernel logits (same weights,
+        same subjects, dense layout, interpret mode)."""
+        import connectome_gnn_tpu.ops.fused_pallas as fp
+        from connectome_gnn_tpu.data import collate_dense
+
+        ref_graphs = ref_generate_dataset(num_subjects=8, num_regions=30, seed=21)
+        my_graphs = generate_dataset(num_subjects=8, num_regions=30, seed=21)
+        ref_batch = ref_collate(ref_graphs)
+        dense = collate_dense(my_graphs)
+
+        torch.manual_seed(3)
+        ref_model = ref_cls(in_channels=5, hidden_dim=64, num_classes=2, num_layers=3)
+        ref_model.eval()
+        with torch.no_grad():
+            ref_logits = ref_model(ref_batch).numpy()
+
+        params, state = params_from_reference_state_dict(
+            state_dict_numpy(ref_model), num_layers=3
+        )
+        fused = getattr(fp, kernel_name)(
+            params, state, dense.node_features, dense.adj, dense.node_mask,
+            num_layers=3, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), ref_logits, rtol=1e-4, atol=1e-5
+        )
+
+    def test_torch_to_banded_rcm_activations(self):
+        """torch per-node activations == RCM-ordered hybrid-banded path.
+
+        Runs the reference GCN conv→BN→ReLU stack (eval, dropout off) on
+        one WS graph, then the same weights through BandedNodeGCN over the
+        RCM-reordered hybrid form (band bulk + shortcut remainder), with an
+        identity head so the model output IS the last layer's activations.
+        Asserts node-for-node equality under the permutation.
+        """
+        import jax.numpy as jnp
+
+        from connectome_gnn_tpu.data.reorder import (
+            apply_ordering,
+            reverse_cuthill_mckee,
+        )
+        from connectome_gnn_tpu.data.synthetic import generate_connectome
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+        from connectome_gnn_tpu.ops.banded import to_hybrid
+
+        seed, H, L = 33, 32, 3
+        ref_g = ref_generate_connectome(num_regions=60, seed=seed)
+        my_g = generate_connectome(num_regions=60, seed=seed)
+
+        torch.manual_seed(4)
+        ref_model = RefGCN(in_channels=5, hidden_dim=H, num_classes=2, num_layers=L)
+        ref_model.eval()
+        with torch.no_grad():
+            x = ref_g.node_features
+            for conv, bn in zip(ref_model.convs, ref_model.batch_norms):
+                x = torch.relu(bn(conv(x, ref_g.edge_index, ref_g.edge_weight)))
+            ref_act = x.numpy()  # [N, H]
+
+        perm = reverse_cuthill_mckee(my_g.edge_index, my_g.num_nodes)
+        g2 = apply_ordering(my_g, perm)
+        hybrid = to_hybrid(
+            g2.edge_index[0], g2.edge_index[1], g2.edge_weight,
+            g2.num_nodes, block=8, bandwidth=2,
+        )
+        assert (np.asarray(hybrid.remainder_weights) > 0).any(), (
+            "WS shortcuts should land in the remainder — otherwise this "
+            "test is not exercising the hybrid path"
+        )
+
+        p_ref, s_ref = params_from_reference_state_dict(
+            state_dict_numpy(ref_model), num_layers=L
+        )
+        params = {
+            "convs": p_ref["convs"],
+            "norms": p_ref["norms"],
+            "head": {"kernel": jnp.eye(H), "bias": jnp.zeros(H)},
+        }
+        model = BandedNodeGCN(
+            in_channels=5, hidden_dim=H, num_classes=H, num_layers=L
+        )
+        acts, _ = model.apply(
+            params, {"norms": s_ref["norms"]}, hybrid,
+            jnp.asarray(g2.node_features), train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acts), ref_act[perm], rtol=1e-4, atol=1e-5
+        )
+
+
 class TestTraitParity:
     @pytest.mark.parametrize("trait_idx", [1, 2, 3, 4])
     def test_other_traits_bitwise(self, trait_idx):
