@@ -1,0 +1,387 @@
+#!/usr/bin/env python3
+"""Multi-process (multi-host) dryrun harness.
+
+Validates the N-host half of the north star without a TPU pod: launches
+``--procs`` REAL operating-system processes, each owning
+``--devices-per-proc`` virtual CPU devices, joined into one JAX job via
+``jax.distributed.initialize`` with gloo cross-process collectives — the
+CPU stand-in for DCN.  Each process materializes ONLY its own data shards
+(loader ``process_index`` / partitioner ``shard_range``), lifts them into
+global arrays with ``assemble_global``, and runs the UNMODIFIED shard_map
+train steps:
+
+  * ``dp``     — data-parallel GCN step (psum gradients + sync-BN)
+  * ``banded`` — halo-exchange sharded banded GCN step (neighbor ppermute)
+  * ``hybrid`` — band + remainder step (all_to_all row exchange both ways)
+
+The parent process then runs the identical programs single-process on one
+8-virtual-device mesh and asserts per-step losses and the final parameter
+checksums agree to ≤1e-4 relative — cross-process execution is numerically
+the same program.  (Exact equality is not expected: gloo's cross-process
+allreduce reduces in a different order than XLA's single-process psum, and
+Adam's per-parameter rsqrt amplifies the f32 reassociation drift; observed
+max ≈2e-5 relative.)  Writes a JSON artifact (default ``MULTIPROC_r02.json``).
+
+Usage:
+    python benchmarks/multiprocess.py [--procs 2] [--devices-per-proc 4]
+                                      [--out MULTIPROC_r02.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TOTAL_DEVICES = 8  # global device count in every configuration
+
+
+# ---------------------------------------------------------------------------
+# The three programs — shared verbatim by the single-process reference and
+# every worker (only the mesh and the materialized shard range differ).
+# ---------------------------------------------------------------------------
+
+
+def _checksum(tree) -> float:
+    import jax
+    import numpy as np
+
+    return float(
+        sum(np.abs(np.asarray(x)).sum() for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+def run_dp(mesh, shard_range) -> dict:
+    """Two data-parallel GCN train steps; returns losses + param checksum."""
+    import jax
+    import optax
+
+    from connectome_gnn_tpu.data import ConnectomeDataLoader, generate_dataset
+    from connectome_gnn_tpu.models import GCNConnectome
+    from connectome_gnn_tpu.parallel import (
+        assemble_global,
+        make_dp_train_step,
+    )
+
+    D = TOTAL_DEVICES
+    graphs = generate_dataset(num_subjects=2 * D, num_regions=20, seed=3)
+    lo, hi = shard_range
+    loader = ConnectomeDataLoader(
+        graphs, batch_size=2 * D, shuffle=False, num_shards=D,
+        process_index=None if (lo, hi) == (0, D) else lo // (hi - lo),
+        process_count=None if (lo, hi) == (0, D) else D // (hi - lo),
+    )
+    model = GCNConnectome(in_channels=5, hidden_dim=16, num_classes=2,
+                          num_layers=2, dropout=0.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_dp_train_step(model, opt, mesh)
+
+    losses = []
+    for i in range(2):
+        stacked = assemble_global(next(iter(loader)), mesh, "data")
+        params, state, opt_state, loss, n = step(
+            params, state, opt_state, jax.random.PRNGKey(1), stacked
+        )
+        losses.append(float(loss))
+    return {"losses": losses, "params_sum": _checksum(params), "n": float(n)}
+
+
+def _giant_graph(shortcut_frac: float):
+    import numpy as np
+
+    from connectome_gnn_tpu.data import generate_spatial_graph
+
+    g = generate_spatial_graph(
+        16 * TOTAL_DEVICES, degree=4, band=12, seed=5,
+        shortcut_frac=shortcut_frac,
+    )
+    labels = (g.degree() > np.median(g.degree())).astype(np.int32)
+    return g, labels
+
+
+def run_banded(mesh, shard_range) -> dict:
+    """Two halo-exchange banded GCN steps (neighbor ppermute over the
+    process boundary)."""
+    import jax
+    import optax
+
+    from connectome_gnn_tpu.ops import to_banded
+    from connectome_gnn_tpu.parallel import (
+        ShardedBandedGCN,
+        assemble_global,
+        make_sharded_banded_train_step,
+        partition_banded,
+    )
+
+    D = TOTAL_DEVICES
+    g, labels = _giant_graph(shortcut_frac=0.0)  # pure band
+    # band=12 exceeds one 8-node block → W=2: halo ppermutes cross shards
+    a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                  g.num_nodes, block=8, bandwidth=2)
+    pb = partition_banded(
+        a, g.node_features, D, labels=labels,
+        shard_range=None if shard_range == (0, D) else shard_range,
+    )
+    stacked = assemble_global(pb, mesh, "edge")
+
+    model = ShardedBandedGCN(in_channels=5, hidden_dim=16, num_layers=2)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_sharded_banded_train_step(model, opt, mesh, "edge")
+
+    losses = []
+    for i in range(2):
+        params, state, opt_state, loss, n = step(
+            params, state, opt_state, jax.random.PRNGKey(1), stacked
+        )
+        losses.append(float(loss))
+    return {"losses": losses, "params_sum": _checksum(params), "n": float(n)}
+
+
+def run_hybrid(mesh, shard_range) -> dict:
+    """Two hybrid (band halo + remainder all_to_all) GCN steps."""
+    import jax
+    import optax
+
+    from connectome_gnn_tpu.ops import to_hybrid
+    from connectome_gnn_tpu.parallel import (
+        ShardedBandedGCN,
+        assemble_global,
+        make_sharded_banded_train_step,
+        partition_hybrid,
+    )
+
+    D = TOTAL_DEVICES
+    g, labels = _giant_graph(shortcut_frac=0.2)
+    h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                  g.num_nodes, block=8, bandwidth=1)
+    ph = partition_hybrid(
+        h, g.node_features, D, labels=labels,
+        shard_range=None if shard_range == (0, D) else shard_range,
+    )
+    stacked = assemble_global(ph, mesh, "edge")
+
+    model = ShardedBandedGCN(in_channels=5, hidden_dim=16, num_layers=2)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_sharded_banded_train_step(model, opt, mesh, "edge")
+
+    losses = []
+    for i in range(2):
+        params, state, opt_state, loss, n = step(
+            params, state, opt_state, jax.random.PRNGKey(1), stacked
+        )
+        losses.append(float(loss))
+    return {"losses": losses, "params_sum": _checksum(params), "n": float(n)}
+
+
+def run_trainer_fit(mesh, shard_range) -> dict:
+    """End-to-end user-facing path: 3 epochs of ``Trainer.fit`` in mesh
+    mode over process-sharded loaders (train + evaluate each epoch)."""
+    import jax
+
+    from connectome_gnn_tpu.data import ConnectomeDataLoader, generate_dataset
+    from connectome_gnn_tpu.models import GCNConnectome
+    from connectome_gnn_tpu.train import Trainer
+
+    D = TOTAL_DEVICES
+    lo, hi = shard_range
+    kw = dict(
+        process_index=None if (lo, hi) == (0, D) else lo // (hi - lo),
+        process_count=None if (lo, hi) == (0, D) else D // (hi - lo),
+    )
+    graphs = generate_dataset(num_subjects=3 * D, num_regions=20, seed=9)
+    tr = ConnectomeDataLoader(
+        graphs[: 2 * D], batch_size=D, shuffle=True, seed=0, num_shards=D, **kw
+    )
+    va = ConnectomeDataLoader(
+        graphs[2 * D :], batch_size=D, shuffle=False, num_shards=D, **kw
+    )
+    model = GCNConnectome(in_channels=5, hidden_dim=16, num_layers=2,
+                          dropout=0.0)
+    trainer = Trainer(model, seed=0, mesh=mesh)
+    hist = trainer.fit(tr, va, num_epochs=3, patience=10, verbose=False)
+    return {
+        "losses": hist["train_loss"] + hist["val_loss"],
+        "params_sum": _checksum(trainer.params),
+        "n": float(hist["val_acc"][-1]),
+    }
+
+
+PROGRAMS = {
+    "dp": run_dp,
+    "banded": run_banded,
+    "hybrid": run_hybrid,
+    "trainer_fit": run_trainer_fit,
+}
+
+
+def run_all(shard_range) -> dict:
+    from connectome_gnn_tpu.parallel import create_mesh
+
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) == TOTAL_DEVICES, (
+        f"expected {TOTAL_DEVICES} global devices, got {len(devices)}"
+    )
+    results = {}
+    mesh_dp = create_mesh(axis_names=("data",))
+    results["dp"] = run_dp(mesh_dp, shard_range)
+    mesh_edge = create_mesh(axis_names=("edge",))
+    results["banded"] = run_banded(mesh_edge, shard_range)
+    results["hybrid"] = run_hybrid(mesh_edge, shard_range)
+    results["trainer_fit"] = run_trainer_fit(mesh_dp, shard_range)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Worker / parent entry points
+# ---------------------------------------------------------------------------
+
+
+def worker_main(args) -> None:
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.devices_per_proc}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from connectome_gnn_tpu.parallel import (
+        initialize_distributed,
+        local_shard_range,
+    )
+
+    initialize_distributed(
+        coordinator_address=f"127.0.0.1:{args.port}",
+        num_processes=args.procs,
+        process_id=args.worker,
+    )
+    assert jax.process_count() == args.procs
+    shard_range = local_shard_range(TOTAL_DEVICES)
+    results = run_all(shard_range)
+    if jax.process_index() == 0:
+        with open(os.path.join(args.tmpdir, "multi.json"), "w") as f:
+            json.dump(results, f)
+
+
+def parent_main(args) -> int:
+    port = _free_port()
+    tmpdir = tempfile.mkdtemp(prefix="cgt_mp_")
+
+    workers = []
+    for pid in range(args.procs):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        logf = open(os.path.join(tmpdir, f"worker{pid}.log"), "w")
+        workers.append(
+            (
+                subprocess.Popen(
+                    [
+                        sys.executable, os.path.abspath(__file__),
+                        "--worker", str(pid), "--procs", str(args.procs),
+                        "--devices-per-proc", str(args.devices_per_proc),
+                        "--port", str(port), "--tmpdir", tmpdir,
+                    ],
+                    env=env, stdout=logf, stderr=subprocess.STDOUT,
+                ),
+                logf,
+            )
+        )
+
+    # single-process reference on the SAME global device count, run here
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={TOTAL_DEVICES}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    reference = run_all((0, TOTAL_DEVICES))
+
+    rcs = []
+    for p, logf in workers:
+        rcs.append(p.wait(timeout=600))
+        logf.close()
+    if any(rcs):
+        for pid in range(args.procs):
+            log = open(os.path.join(tmpdir, f"worker{pid}.log")).read()
+            print(f"--- worker {pid} (rc={rcs[pid]}) ---\n{log[-3000:]}")
+        print(json.dumps({"ok": False, "worker_rcs": rcs}))
+        return 1
+
+    with open(os.path.join(tmpdir, "multi.json")) as f:
+        multi = json.load(f)
+
+    max_rel = 0.0
+    for prog, ref in reference.items():
+        got = multi[prog]
+        for key in ("params_sum", "n"):
+            rel = abs(got[key] - ref[key]) / max(abs(ref[key]), 1e-12)
+            max_rel = max(max_rel, rel)
+        for a, b in zip(ref["losses"], got["losses"]):
+            max_rel = max(max_rel, abs(a - b) / max(abs(a), 1e-12))
+
+    ok = max_rel <= 1e-4
+    artifact = {
+        "procs": args.procs,
+        "devices_per_proc": args.devices_per_proc,
+        "global_devices": TOTAL_DEVICES,
+        "transport": "gloo (cross-process CPU collectives — DCN stand-in)",
+        "programs": sorted(reference),
+        "reference_single_process": reference,
+        "multiprocess": multi,
+        "max_rel_err": max_rel,
+        "ok": ok,
+    }
+    out = json.dumps(artifact, indent=2)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    return 0 if ok else 1
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--procs", type=int, default=2)
+    parser.add_argument("--devices-per-proc", type=int, default=None)
+    parser.add_argument("--out", default=None)
+    # internal (worker mode)
+    parser.add_argument("--worker", type=int, default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--tmpdir", default=None)
+    args = parser.parse_args()
+    if args.devices_per_proc is None:
+        args.devices_per_proc = TOTAL_DEVICES // args.procs
+    if args.devices_per_proc * args.procs != TOTAL_DEVICES:
+        raise SystemExit(
+            f"procs × devices-per-proc must equal {TOTAL_DEVICES}"
+        )
+    if args.worker is not None:
+        worker_main(args)
+        return 0
+    return parent_main(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

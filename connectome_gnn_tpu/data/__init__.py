@@ -7,6 +7,13 @@ from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
 from connectome_gnn_tpu.data.prefetch import PrefetchIterator, PrefetchLoader
+from connectome_gnn_tpu.data.sampled import (
+    SampledNodeBatch,
+    SampledNodeLoader,
+    collate_sampled,
+    fanout_budgets,
+    full_graph_batch,
+)
 from connectome_gnn_tpu.data.sampling import (
     NeighborSampler,
     sample_subgraph,
@@ -36,6 +43,11 @@ __all__ = [
     "load_dataset",
     "save_dataset",
     "NeighborSampler",
+    "SampledNodeBatch",
+    "SampledNodeLoader",
+    "collate_sampled",
+    "fanout_budgets",
+    "full_graph_batch",
     "sample_subgraph",
     "sample_subgraph_fast",
     "generate_connectome",

@@ -50,6 +50,15 @@ class ConnectomeDataLoader:
         device axis of size ``num_shards`` (``batch_size`` graphs split
         evenly into per-shard sub-batches) for ``shard_map`` data
         parallelism.  Budgets then apply per shard.
+    process_index / process_count
+        Multi-process data sharding: with both set, ``num_shards`` is the
+        GLOBAL shard count and each yielded batch stacks only this
+        process's contiguous ``num_shards / process_count`` shards (the
+        rest are never collated or materialized here).  All processes
+        must use identical ``seed``/``set_epoch`` so the global shuffle
+        order agrees; lift the local stack to a global array with
+        :func:`~connectome_gnn_tpu.parallel.distributed.assemble_global`
+        (``Trainer`` does this automatically in mesh mode).
     layout
         ``"coo"`` (default) yields padded :class:`ConnectomeBatch`;
         ``"dense"`` yields :class:`DenseConnectomeBatch` (batched dense
@@ -69,6 +78,8 @@ class ConnectomeDataLoader:
         drop_last: bool = False,
         num_shards: Optional[int] = None,
         layout: str = "coo",
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         if len(dataset) == 0:
             raise ValueError("dataset is empty")
@@ -93,6 +104,31 @@ class ConnectomeDataLoader:
             if self.num_shards is not None
             else self.batch_size
         )
+
+        if (process_index is None) != (process_count is None):
+            raise ValueError(
+                "process_index and process_count must be given together"
+            )
+        if process_count is not None:
+            if self.num_shards is None:
+                raise ValueError("process sharding requires num_shards")
+            if self.num_shards % process_count:
+                raise ValueError(
+                    f"num_shards={self.num_shards} not divisible by "
+                    f"process_count={process_count}"
+                )
+            if not 0 <= process_index < process_count:
+                raise ValueError(
+                    f"process_index={process_index} out of range "
+                    f"[0, {process_count})"
+                )
+            per = self.num_shards // process_count
+            self._shard_lo, self._shard_hi = (
+                process_index * per,
+                (process_index + 1) * per,
+            )
+        else:
+            self._shard_lo, self._shard_hi = 0, self.num_shards or 0
 
         if node_budget is None or edge_budget is None:
             nodes = sorted((g.num_nodes for g in self.dataset), reverse=True)
@@ -151,7 +187,7 @@ class ConnectomeDataLoader:
                             ]
                         ]
                     )
-                    for s in range(self.num_shards)
+                    for s in range(self._shard_lo, self._shard_hi)
                 ]
                 from connectome_gnn_tpu.parallel.data_parallel import stack_batches
 

@@ -1,0 +1,319 @@
+"""Sampled-minibatch giant-graph training: batches, collate, loader.
+
+The end-to-end path for BASELINE config 5's "edge-partitioned giant graph
+with neighbor sampling": per step, a GraphSAGE-style fanout sample around a
+minibatch of seed nodes (:class:`~connectome_gnn_tpu.data.sampling.
+NeighborSampler`, native C++ traversal) is packed into a **static-shape**
+:class:`SampledNodeBatch` — node/edge budgets are the fanout-tree worst
+case, so the jitted train step compiles exactly once — and supervision is
+seed-node-only (the sampler puts seeds first; the model's head reads the
+first ``num_seeds`` rows).
+
+The container intentionally exposes the same ``labels`` / ``label_mask`` /
+``graph_mask`` surface as :class:`~connectome_gnn_tpu.data.batch.
+ConnectomeBatch`, so the standard :class:`~connectome_gnn_tpu.train.
+Trainer` (fit / evaluate / predict / checkpointing) drives sampled
+node-level training unchanged — with a model whose ``apply`` returns
+per-seed logits (:class:`~connectome_gnn_tpu.models.node_coo.NodeGCN` /
+``NodeSAGE``).
+
+The reference suite has no sampling or node-level training (SURVEY §0);
+this is north-star scope.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from connectome_gnn_tpu.data.batch import round_up
+from connectome_gnn_tpu.data.graph import ConnectomeGraph
+from connectome_gnn_tpu.data.sampling import NeighborSampler
+from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class SampledNodeBatch:
+    """A padded k-hop sampled subgraph with seed-node supervision.
+
+    Nodes are relabeled sampler-locally with the ``num_seeds`` seed slots
+    FIRST; edges are receiver-sorted (padding edges carry weight 0 and
+    point at the last node slot, keeping them inert and the sort valid).
+
+    Attributes
+    ----------
+    node_features : float32 [N_budget, F]
+    senders / receivers : int32 [E_budget]
+    edge_weight : float32 [E_budget]   0 on padding
+    node_mask : bool [N_budget]        True for real sampled nodes
+    labels : int32 [S]                 per-seed labels (0 where unlabeled)
+    label_mask : bool [S]              real AND labeled seed slots
+    seed_mask : bool [S]               real seed slots (labeled or not)
+    node_ids : int32 [N_budget]        original giant-graph node id per
+                                       slot (-1 padding) — for writing
+                                       predictions back
+    num_seeds : int (static)
+    """
+
+    node_features: jnp.ndarray
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_weight: jnp.ndarray
+    node_mask: jnp.ndarray
+    labels: jnp.ndarray
+    label_mask: jnp.ndarray
+    seed_mask: jnp.ndarray
+    node_ids: jnp.ndarray
+    num_seeds: int = static_field(default=0)
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.node_features.shape[0])
+
+    @property
+    def graph_mask(self) -> jnp.ndarray:
+        """Real seed slots — lets ``Trainer.predict`` serve unlabeled
+        seeds (mirrors ``ConnectomeBatch.graph_mask``)."""
+        return self.seed_mask
+
+
+def collate_sampled(
+    subgraph: ConnectomeGraph,
+    node_ids: np.ndarray,
+    seed_labels: Optional[np.ndarray],
+    *,
+    num_seeds: int,
+    real_seeds: int,
+    node_budget: int,
+    edge_budget: int,
+) -> SampledNodeBatch:
+    """Pack one sampled subgraph (seeds-first, as the samplers return it)
+    into a :class:`SampledNodeBatch`.
+
+    ``seed_labels`` are the labels of the REAL seeds (length
+    ``real_seeds``); remaining seed slots are masked padding.
+    """
+    n, e = subgraph.num_nodes, subgraph.num_edges
+    if n > node_budget:
+        raise ValueError(f"sampled {n} nodes > node_budget {node_budget}")
+    if e > edge_budget:
+        raise ValueError(f"sampled {e} edges > edge_budget {edge_budget}")
+    if real_seeds > num_seeds:
+        raise ValueError(f"{real_seeds} seeds > seed slots {num_seeds}")
+
+    F = subgraph.num_features
+    x = np.zeros((node_budget, F), np.float32)
+    x[:n] = subgraph.node_features
+    node_mask = np.zeros(node_budget, bool)
+    node_mask[:n] = True
+    ids = np.full(node_budget, -1, np.int32)
+    ids[:n] = node_ids
+
+    # receiver-sort for segment_sum's indices_are_sorted fast path;
+    # padding edges target the LAST slot with weight 0 (inert, sorted)
+    src, dst = subgraph.edge_index
+    order = np.argsort(dst, kind="stable")
+    senders = np.full(edge_budget, node_budget - 1, np.int32)
+    receivers = np.full(edge_budget, node_budget - 1, np.int32)
+    weights = np.zeros(edge_budget, np.float32)
+    senders[:e] = src[order]
+    receivers[:e] = dst[order]
+    weights[:e] = subgraph.edge_weight[order]
+
+    labels = np.zeros(num_seeds, np.int32)
+    label_mask = np.zeros(num_seeds, bool)
+    seed_mask = np.zeros(num_seeds, bool)
+    seed_mask[:real_seeds] = True
+    if seed_labels is not None:
+        labels[:real_seeds] = np.asarray(seed_labels, np.int32)
+        label_mask[:real_seeds] = True
+
+    return SampledNodeBatch(
+        node_features=jnp.asarray(x),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        edge_weight=jnp.asarray(weights),
+        node_mask=jnp.asarray(node_mask),
+        labels=jnp.asarray(labels),
+        label_mask=jnp.asarray(label_mask),
+        seed_mask=jnp.asarray(seed_mask),
+        node_ids=jnp.asarray(ids),
+        num_seeds=int(num_seeds),
+    )
+
+
+def full_graph_batch(
+    graph: ConnectomeGraph,
+    node_labels: Optional[np.ndarray] = None,
+    *,
+    seed_nodes: Optional[Sequence[int]] = None,
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+) -> SampledNodeBatch:
+    """The whole graph as one :class:`SampledNodeBatch` (identity sample).
+
+    The full-batch oracle for sampled training: every node is present,
+    ``seed_nodes`` (default: all nodes) are the supervised slots.  Seeds
+    must be a prefix-permutation-free arbitrary subset — the node space is
+    REORDERED seeds-first to honor the container contract.
+    """
+    n = graph.num_nodes
+    seeds = (
+        np.arange(n, dtype=np.int64)
+        if seed_nodes is None
+        else np.asarray(list(dict.fromkeys(int(s) for s in seed_nodes)), np.int64)
+    )
+    rest = np.setdiff1d(np.arange(n, dtype=np.int64), seeds, assume_unique=False)
+    order = np.concatenate([seeds, rest])  # order[new] = old
+    relabel = np.empty(n, np.int64)
+    relabel[order] = np.arange(n)
+
+    src, dst = graph.edge_index
+    reordered = ConnectomeGraph(
+        node_features=graph.node_features[order],
+        edge_index=np.stack([relabel[src], relabel[dst]]).astype(np.int32),
+        edge_weight=graph.edge_weight,
+        label=graph.label,
+        subject_id=graph.subject_id,
+    )
+    labels = (
+        np.asarray(node_labels)[seeds] if node_labels is not None else None
+    )
+    return collate_sampled(
+        reordered,
+        node_ids=order,
+        seed_labels=labels,
+        num_seeds=len(seeds),
+        real_seeds=len(seeds),
+        node_budget=round_up(n, node_multiple),
+        edge_budget=round_up(graph.num_edges, edge_multiple),
+    )
+
+
+def fanout_budgets(
+    batch_size: int, fanout: Sequence[int], num_features: int = 0
+) -> tuple[int, int]:
+    """Worst-case (node, edge) budgets for a ``batch_size``-seed sample:
+    every hop expands fully, nothing deduplicates."""
+    nodes = batch_size
+    edges = 0
+    frontier = batch_size
+    for f in fanout:
+        frontier *= f
+        edges += frontier
+        nodes += frontier
+    return nodes, edges
+
+
+class SampledNodeLoader:
+    """Per-step neighbor-sampled minibatches over ONE giant graph.
+
+    Each iteration shuffles the seed-node pool (labeled nodes by default),
+    chunks it into ``batch_size`` seed minibatches, fanout-samples each
+    (native C++ traversal, amortized index build) and yields static-shape
+    :class:`SampledNodeBatch` es.  Drives the standard :class:`Trainer`.
+
+    Parameters
+    ----------
+    graph
+        The giant host-side graph.
+    node_labels
+        int labels per node (or None for unlabeled serving).
+    seed_nodes
+        The supervised node pool (default: all nodes).
+    batch_size
+        Seed nodes per step (static seed-slot count).
+    fanout
+        Per-hop in-neighbor cap; depth = len(fanout) (match the model's
+        ``num_layers`` — deeper models would read zero-padded context).
+    node_budget / edge_budget
+        Static paddings; default = the no-dedup worst case
+        (:func:`fanout_budgets`) capped at the full graph size.
+    shuffle / seed
+        Epoch shuffling of the seed pool, pinned per epoch like
+        :class:`~connectome_gnn_tpu.data.loader.ConnectomeDataLoader`
+        (``set_epoch`` replays a resumed run exactly).
+    drop_last
+        Drop the final partial seed chunk instead of padding it.
+    """
+
+    def __init__(
+        self,
+        graph: ConnectomeGraph,
+        node_labels: Optional[np.ndarray] = None,
+        *,
+        seed_nodes: Optional[Sequence[int]] = None,
+        batch_size: int = 512,
+        fanout: Sequence[int] = (10, 10),
+        node_budget: Optional[int] = None,
+        edge_budget: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        node_multiple: int = 8,
+        edge_multiple: int = 128,
+    ):
+        self.graph = graph
+        self.node_labels = (
+            np.asarray(node_labels, np.int32) if node_labels is not None else None
+        )
+        self.seeds = (
+            np.arange(graph.num_nodes, dtype=np.int64)
+            if seed_nodes is None
+            else np.asarray(seed_nodes, np.int64)
+        )
+        self.batch_size = int(batch_size)
+        self.fanout = tuple(int(f) for f in fanout)
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.drop_last = bool(drop_last)
+        self._epoch = 0
+        self._sampler = NeighborSampler(graph)
+
+        worst_n, worst_e = fanout_budgets(self.batch_size, self.fanout)
+        if node_budget is None:
+            node_budget = min(worst_n, graph.num_nodes)
+        if edge_budget is None:
+            edge_budget = min(worst_e, graph.num_edges)
+        self.node_budget = round_up(int(node_budget), node_multiple)
+        self.edge_budget = round_up(int(edge_budget), edge_multiple)
+
+    def __len__(self) -> int:
+        n = len(self.seeds)
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle stream AND the per-step sampling streams to
+        ``epoch`` (see ``ConnectomeDataLoader.set_epoch``)."""
+        self._epoch = int(epoch)
+
+    def __iter__(self) -> Iterator[SampledNodeBatch]:
+        seeds = self.seeds
+        epoch = self._epoch
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            seeds = seeds[rng.permutation(len(seeds))]
+            self._epoch += 1
+        for b, start in enumerate(range(0, len(seeds), self.batch_size)):
+            chunk = seeds[start : start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            # decorrelate sampling across steps and epochs, deterministically
+            sample_seed = hash((self.seed, epoch, b)) & 0x7FFFFFFF
+            sub, node_ids = self._sampler.sample(
+                chunk, self.fanout, seed=sample_seed
+            )
+            yield collate_sampled(
+                sub,
+                node_ids,
+                self.node_labels[chunk] if self.node_labels is not None else None,
+                num_seeds=self.batch_size,
+                real_seeds=len(chunk),
+                node_budget=self.node_budget,
+                edge_budget=self.edge_budget,
+            )

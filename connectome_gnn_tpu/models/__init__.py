@@ -5,6 +5,7 @@ from connectome_gnn_tpu.models.connectome import (
     GCNConnectome,
     GraphSAGEConnectome,
 )
+from connectome_gnn_tpu.models.node_coo import NodeGCN, NodeSAGE
 from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
 from connectome_gnn_tpu.models.node_sage import BandedNodeSAGE
 from connectome_gnn_tpu.models.layers import (
@@ -16,6 +17,8 @@ from connectome_gnn_tpu.models.layers import (
 
 __all__ = [
     "BandedNodeGCN",
+    "NodeGCN",
+    "NodeSAGE",
     "BandedNodeSAGE",
     "GCNConnectome",
     "GraphSAGEConnectome",

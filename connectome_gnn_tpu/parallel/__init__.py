@@ -1,5 +1,13 @@
-"""Parallelism layer: meshes, data-parallel shard_map steps, edge partitioning."""
+"""Parallelism layer: meshes, data-parallel shard_map steps, edge
+partitioning, and the multi-process (multi-host) execution layer."""
 
+from connectome_gnn_tpu.parallel.distributed import (
+    assemble_global,
+    initialize_distributed,
+    local_shard_range,
+    process_count,
+    process_index,
+)
 from connectome_gnn_tpu.parallel.data_parallel import (
     make_dp_eval_step,
     make_dp_train_step,
@@ -31,6 +39,11 @@ from connectome_gnn_tpu.parallel.edge_partition import (
 from connectome_gnn_tpu.parallel.mesh import create_mesh
 
 __all__ = [
+    "assemble_global",
+    "initialize_distributed",
+    "local_shard_range",
+    "process_count",
+    "process_index",
     "EdgePartitionedGCN",
     "PartitionedBanded",
     "PartitionedHybrid",

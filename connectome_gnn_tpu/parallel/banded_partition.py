@@ -77,12 +77,19 @@ def partition_banded(
     *,
     node_mask: Optional[np.ndarray] = None,
     labels: Optional[np.ndarray] = None,
+    shard_range: Optional[tuple[int, int]] = None,
 ) -> PartitionedBanded:
     """Shard a banded matrix + node features by row blocks (host side).
 
     The block count is padded to a multiple of ``num_shards`` with zero
     blocks; requires ``W <= blocks_per_shard`` (halo exchange only talks to
     immediate neighbors).
+
+    ``shard_range=(lo, hi)`` materializes only shards ``[lo, hi)`` — the
+    multi-process path: each process packs just its own row blocks (no
+    full-band zero-padded copy), keeping host memory per process at
+    ``1/P`` of the graph; lift with
+    :func:`~connectome_gnn_tpu.parallel.distributed.assemble_global`.
     """
     band = np.asarray(a.band)
     nb, dcount, block, _ = band.shape
@@ -94,14 +101,25 @@ def partition_banded(
             f"bandwidth {W} blocks exceeds blocks-per-shard {nb_local}; "
             "use fewer shards or a narrower band"
         )
+    lo, hi = shard_range if shard_range is not None else (0, num_shards)
+    if not 0 <= lo < hi <= num_shards:
+        raise ValueError(f"bad shard_range {(lo, hi)} for D={num_shards}")
+    d_here = hi - lo
 
-    band_p = np.zeros((nb_pad, dcount, block, block), np.float32)
-    band_p[:nb] = band
-    padded_nodes = nb_pad * block
+    # local block rows [lo·nb_local, hi·nb_local), zero-padded past nb —
+    # only this slice is ever allocated (no nb_pad-sized copy)
+    b0, b1 = lo * nb_local, hi * nb_local
+    band_p = np.zeros((b1 - b0, dcount, block, block), np.float32)
+    if b0 < nb:
+        band_p[: min(b1, nb) - b0] = band[b0 : min(b1, nb)]
+
+    n0, n1 = b0 * block, b1 * block
 
     def pad_nodes(arr, fill, dtype):
-        out = np.full((padded_nodes,) + arr.shape[1:], fill, dtype)
-        out[: arr.shape[0]] = arr
+        """Rows [n0, n1) of the conceptual padded node-id space."""
+        out = np.full((n1 - n0,) + arr.shape[1:], fill, dtype)
+        if n0 < arr.shape[0]:
+            out[: min(n1, arr.shape[0]) - n0] = arr[n0 : min(n1, arr.shape[0])]
         return out
 
     x = np.asarray(x, np.float32)[: a.num_nodes]
@@ -118,16 +136,15 @@ def partition_banded(
         else np.zeros(a.num_nodes, np.int32)
     )
     lab_p = pad_nodes(lab, 0, np.int32)
-    lab_mask_p = mask_p if labels is not None else np.zeros(padded_nodes, bool)
+    lab_mask_p = mask_p if labels is not None else np.zeros(n1 - n0, bool)
 
-    D = num_shards
     return PartitionedBanded(
-        band=jnp.asarray(band_p.reshape(D, nb_local, dcount, block, block)),
-        node_features=jnp.asarray(x_p.reshape(D, nb_local * block, -1)),
-        node_mask=jnp.asarray(mask_p.reshape(D, nb_local * block)),
-        labels=jnp.asarray(lab_p.reshape(D, nb_local * block)),
-        label_mask=jnp.asarray(lab_mask_p.reshape(D, nb_local * block)),
-        num_shards=D,
+        band=jnp.asarray(band_p.reshape(d_here, nb_local, dcount, block, block)),
+        node_features=jnp.asarray(x_p.reshape(d_here, nb_local * block, -1)),
+        node_mask=jnp.asarray(mask_p.reshape(d_here, nb_local * block)),
+        labels=jnp.asarray(lab_p.reshape(d_here, nb_local * block)),
+        label_mask=jnp.asarray(lab_mask_p.reshape(d_here, nb_local * block)),
+        num_shards=num_shards,
         bandwidth=W,
     )
 

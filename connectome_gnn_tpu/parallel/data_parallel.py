@@ -47,11 +47,16 @@ def stack_batches(batches: Sequence[ConnectomeBatch]) -> ConnectomeBatch:
 def shard_batch(
     stacked: ConnectomeBatch, mesh: Mesh, axis_name: str = "data"
 ) -> ConnectomeBatch:
-    """Place a stacked batch so each device holds its own shard."""
-    sharding = NamedSharding(mesh, P(axis_name))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), stacked
-    )
+    """Place a stacked batch so each device holds its own shard.
+
+    Multi-process: ``stacked`` carries only this process's shards on the
+    leading axis and is lifted to a global array
+    (:func:`~connectome_gnn_tpu.parallel.distributed.assemble_global`);
+    single-process it is a plain sharded ``device_put``.
+    """
+    from connectome_gnn_tpu.parallel.distributed import assemble_global
+
+    return assemble_global(stacked, mesh, axis_name)
 
 
 def _local_shard(stacked: ConnectomeBatch) -> ConnectomeBatch:

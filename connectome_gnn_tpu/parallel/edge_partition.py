@@ -94,16 +94,27 @@ def partition_graph(
     node_labels: Optional[np.ndarray] = None,
     node_multiple: int = 8,
     edge_multiple: int = 128,
+    shard_range: Optional[tuple[int, int]] = None,
 ) -> PartitionedGraph:
     """Partition one graph into a :class:`PartitionedGraph` (host side).
 
     Nodes are split into ``num_shards`` contiguous blocks (pad the id space
     first); edges go to the shard owning their receiver.  ``node_labels``
     enables node-level supervision.
+
+    ``shard_range=(lo, hi)`` materializes only shards ``[lo, hi)`` (the
+    multi-process path: each process builds its own slice, to be lifted
+    into a global array by
+    :func:`~connectome_gnn_tpu.parallel.distributed.assemble_global`; the
+    static paddings stay GLOBAL so all processes produce one shape).
     """
     n = graph.num_nodes
     p_local = round_up(-(-n // num_shards), node_multiple)
     total = num_shards * p_local
+    lo, hi = shard_range if shard_range is not None else (0, num_shards)
+    if not 0 <= lo < hi <= num_shards:
+        raise ValueError(f"bad shard_range {(lo, hi)} for D={num_shards}")
+    d_here = hi - lo
 
     src = graph.edge_index[0].astype(np.int64)
     dst = graph.edge_index[1].astype(np.int64)
@@ -114,35 +125,38 @@ def partition_graph(
     e_local = round_up(int(counts.max()) if counts.size else 1, edge_multiple)
 
     F = graph.num_features
-    x = np.zeros((num_shards, p_local, F), np.float32)
-    senders = np.zeros((num_shards, e_local), np.int32)
-    receivers = np.zeros((num_shards, e_local), np.int32)
-    weights = np.zeros((num_shards, e_local), np.float32)
-    node_mask = np.zeros((num_shards, p_local), bool)
-    labels = np.zeros((num_shards, p_local), np.int32)
-    label_mask = np.zeros((num_shards, p_local), bool)
+    x = np.zeros((d_here, p_local, F), np.float32)
+    senders = np.zeros((d_here, e_local), np.int32)
+    receivers = np.zeros((d_here, e_local), np.int32)
+    weights = np.zeros((d_here, e_local), np.float32)
+    node_mask = np.zeros((d_here, p_local), bool)
+    labels = np.zeros((d_here, p_local), np.int32)
+    label_mask = np.zeros((d_here, p_local), bool)
 
-    flat_x = np.zeros((total, F), np.float32)
-    flat_x[:n] = graph.node_features
-    x[:] = flat_x.reshape(num_shards, p_local, F)
-    flat_mask = np.zeros(total, bool)
-    flat_mask[:n] = True
-    node_mask[:] = flat_mask.reshape(num_shards, p_local)
+    def slab(flat):
+        """Rows ``[lo*p_local, hi*p_local)`` of a conceptual [total, ...]
+        array, zero-padded past ``n`` — built without materializing the
+        full id space."""
+        a, b = lo * p_local, hi * p_local
+        out = np.zeros((b - a,) + flat.shape[1:], flat.dtype)
+        if a < n:
+            out[: min(b, n) - a] = flat[a : min(b, n)]
+        return out.reshape((d_here, p_local) + flat.shape[1:])
+
+    x[:] = slab(np.asarray(graph.node_features, np.float32))
+    node_mask[:] = slab(np.ones(n, bool))
     if node_labels is not None:
-        node_labels = np.asarray(node_labels)
-        flat_lab = np.zeros(total, np.int32)
-        flat_lab[:n] = node_labels
-        labels[:] = flat_lab.reshape(num_shards, p_local)
+        labels[:] = slab(np.asarray(node_labels, np.int32))
         label_mask[:] = node_mask
 
-    for d in range(num_shards):
+    for d in range(lo, hi):
         sel = owner == d
         e = int(sel.sum())
         # receiver-sorted within the shard (stable → deterministic)
         order = np.argsort(dst[sel], kind="stable")
-        senders[d, :e] = src[sel][order]
-        receivers[d, :e] = (dst[sel][order] - d * p_local).astype(np.int32)
-        weights[d, :e] = w[sel][order]
+        senders[d - lo, :e] = src[sel][order]
+        receivers[d - lo, :e] = (dst[sel][order] - d * p_local).astype(np.int32)
+        weights[d - lo, :e] = w[sel][order]
 
     return PartitionedGraph(
         node_features=jnp.asarray(x),

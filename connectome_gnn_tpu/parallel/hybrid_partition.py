@@ -104,6 +104,7 @@ def partition_hybrid(
     slot_multiple: int = 8,
     edge_capacity: Optional[int] = None,
     slot_capacity: Optional[int] = None,
+    shard_range: Optional[tuple[int, int]] = None,
 ) -> PartitionedHybrid:
     """Shard a hybrid matrix + features by row blocks (host side).
 
@@ -114,11 +115,18 @@ def partition_hybrid(
     needs identical static shapes across subjects; per-subject derived
     paddings differ whenever shortcut counts do).  Raises if a capacity
     is too small for this graph.
+
+    ``shard_range=(lo, hi)`` materializes only shards ``[lo, hi)`` for
+    multi-process runs (send tables and paddings stay globally derived so
+    every process produces the same static shapes; the cross-pair unique
+    index metadata is computed everywhere — it is tiny next to the data).
     """
     pb = partition_banded(
-        h.band, x, num_shards, node_mask=node_mask, labels=labels
+        h.band, x, num_shards, node_mask=node_mask, labels=labels,
+        shard_range=shard_range,
     )
     D = num_shards
+    lo, hi = shard_range if shard_range is not None else (0, D)
     p_local = pb.blocks_per_shard * pb.block
 
     s = np.asarray(h.remainder_senders, np.int64)
@@ -149,11 +157,11 @@ def partition_hybrid(
             )
         U = int(slot_capacity)
 
-    send_idx = np.full((D, D, U), p_local, np.int32)
-    for i in range(D):
+    send_idx = np.full((hi - lo, D, U), p_local, np.int32)
+    for i in range(lo, hi):
         for j in range(D):
             rows = uniques[i][j]
-            send_idx[i, j, : len(rows)] = rows
+            send_idx[i - lo, j, : len(rows)] = rows
 
     # pass 2: per-dst-shard edge arrays with table slots
     e_loc = max(
@@ -167,10 +175,10 @@ def partition_hybrid(
                 "edges on some shard"
             )
         E_loc = int(edge_capacity)
-    rem_w = np.zeros((D, E_loc), np.float32)
-    rem_r = np.full((D, E_loc), p_local, np.int32)
-    rem_slot = np.zeros((D, E_loc), np.int32)
-    for j in range(D):
+    rem_w = np.zeros((hi - lo, E_loc), np.float32)
+    rem_r = np.full((hi - lo, E_loc), p_local, np.int32)
+    rem_slot = np.zeros((hi - lo, E_loc), np.int32)
+    for j in range(lo, hi):
         mask_j = d_r == j
         rj, wj = r_loc[mask_j], w[mask_j]
         sj_shard, sj_loc = d_s[mask_j], s_loc[mask_j]
@@ -187,9 +195,9 @@ def partition_hybrid(
             slot[m] = p_local + i * U + pos
         order = np.argsort(rj, kind="stable")  # receiver-sorted per shard
         k = len(rj)
-        rem_w[j, :k] = wj[order]
-        rem_r[j, :k] = rj[order]
-        rem_slot[j, :k] = slot[order]
+        rem_w[j - lo, :k] = wj[order]
+        rem_r[j - lo, :k] = rj[order]
+        rem_slot[j - lo, :k] = slot[order]
 
     return PartitionedHybrid(
         banded=pb,

@@ -157,6 +157,16 @@ class Trainer:
 
         return eval_step
 
+    def _maybe_global(self, batch):
+        """Multi-process mesh mode: lift the loader's process-local shard
+        stack into a global sharded array (single-process: pass through —
+        jit places host batches itself)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from connectome_gnn_tpu.parallel.data_parallel import shard_batch
+
+            return shard_batch(batch, self.mesh, self.axis_name)
+        return batch
+
     # ------------------------------------------------------------------
     # Public API (mirrors reference train.py:41-127)
     # ------------------------------------------------------------------
@@ -171,6 +181,7 @@ class Trainer:
         """
         losses, counts = [], []
         for batch in loader:
+            batch = self._maybe_global(batch)
             if self.mesh is None:
                 (
                     self.params,
@@ -207,6 +218,7 @@ class Trainer:
         """
         sums = []
         for batch in loader:
+            batch = self._maybe_global(batch)
             if self.mesh is None:
                 sums.append(self._eval_step(self.params, self.state, batch))
             else:
