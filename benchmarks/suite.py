@@ -432,6 +432,69 @@ def bench_train_step(iters=100):
     return {"us_per_step": dt * 1e6, "graphs_per_s": 512 / dt}
 
 
+def bench_sampled_train(num_nodes=262_144, degree=16, batch=1024,
+                        fanout=(10, 10), steps=30):
+    """Config 5 end-to-end: sampled-minibatch node-GCN training throughput.
+
+    Unlike the device-loop benches this is an END-TO-END number: per step,
+    the native C++ neighbor sampler draws a fanout subgraph on host, the
+    collate packs it to static shapes, and the jitted train step runs on
+    device.  Steps dispatch asynchronously (loss is fetched once at the
+    end, like Trainer's epoch-level sync), so host sampling overlaps
+    device compute — the quotient is real steps/s for giant-graph
+    training, host work included.
+    """
+    import numpy as np
+
+    from connectome_gnn_tpu.data import SampledNodeLoader, generate_spatial_graph
+    from connectome_gnn_tpu.models import NodeGCN
+    from connectome_gnn_tpu.train import Trainer
+
+    g = generate_spatial_graph(num_nodes, degree=degree, band=512, seed=0,
+                               shortcut_frac=0.1)
+    src, dst = g.edge_index
+    num = np.zeros(num_nodes)
+    den = np.zeros(num_nodes)
+    np.add.at(num, dst, g.edge_weight * g.node_features[src, 0])
+    np.add.at(den, dst, g.edge_weight)
+    labels = ((num / (den + 1e-8)) > 0).astype(np.int32)
+
+    loader = SampledNodeLoader(g, labels, batch_size=batch, fanout=fanout,
+                               seed=0, drop_last=True)
+    trainer = Trainer(NodeGCN(in_channels=5, hidden_dim=64, num_layers=2))
+
+    it = iter(loader)
+    batches = [next(it) for _ in range(min(steps, len(loader)))]
+    real_edges = float(
+        np.mean([(np.asarray(b.edge_weight) > 0).sum() for b in batches])
+    )
+
+    def run(k):
+        t0 = time.perf_counter()
+        loss = None
+        for b in batches[:k]:
+            (trainer.params, trainer.state, trainer.opt_state, trainer._rng,
+             loss, _) = trainer._train_step(
+                trainer.params, trainer.state, trainer.opt_state,
+                trainer._rng, b,
+            )
+        _fetch(loss)  # one epoch-level sync
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warmup
+    k_small = max(len(batches) // 4, 1)
+    t_small = run(k_small)
+    t_full = run(len(batches))
+    dt = max(t_full - t_small, 1e-9) / (len(batches) - k_small)
+    return {
+        "ms_per_step": dt * 1e3,
+        "steps_per_s": 1.0 / dt,
+        "seed_nodes_per_s": batch / dt,
+        "sampled_edges_per_s": real_edges / dt,
+        "avg_sampled_edges": real_edges,
+    }
+
+
 BENCHES = {
     "1": ("GCN fwd fused, bs=16 n=84 h=64",
           lambda: bench_small_graph_forward(fused=True)),
@@ -451,6 +514,9 @@ BENCHES = {
            bench_spmm_banded_giant),
     "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
           bench_train_step),
+    "S": ("sampled-minibatch node-GCN training end-to-end, 262k-node graph, "
+          "1024 seeds/step, fanout 10x10",
+          bench_sampled_train),
 }
 
 
@@ -462,7 +528,7 @@ def _sage():
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,5d,T")
+    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,5d,T,S")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 

@@ -216,6 +216,42 @@ def main() -> None:
         f"(native sampler)"
     )
 
+    # ------------------------------------------------------------------
+    # 8. End-to-end sampled-minibatch training (seed-node supervision)
+    # ------------------------------------------------------------------
+    from connectome_gnn_tpu.data import SampledNodeLoader
+    from connectome_gnn_tpu.models import NodeGCN
+    from connectome_gnn_tpu.train import Trainer
+
+    src, dst = sw.edge_index
+    msum = np.zeros(n)
+    wsum = np.zeros(n)
+    np.add.at(msum, dst, sw.edge_weight * sw.node_features[src, 0])
+    np.add.at(wsum, dst, sw.edge_weight)
+    labels = ((msum / (wsum + 1e-8)) > 0).astype(np.int32)
+
+    order = np.random.default_rng(7).permutation(n)
+    train_loader = SampledNodeLoader(
+        sw, labels, seed_nodes=order[: int(0.8 * n)], batch_size=1024,
+        fanout=(10, 10), seed=0, drop_last=True,
+    )
+    val_loader = SampledNodeLoader(
+        sw, labels, seed_nodes=order[int(0.8 * n) :], batch_size=1024,
+        fanout=(10, 10), shuffle=False,
+    )
+    trainer = Trainer(NodeGCN(in_channels=5, hidden_dim=64, num_layers=2))
+    t0 = time.perf_counter()
+    hist = trainer.fit(
+        train_loader, val_loader, num_epochs=3, patience=10, verbose=False
+    )
+    dt = time.perf_counter() - t0
+    steps = 3 * len(train_loader)
+    print(
+        f"sampled training on the {n:,}-node graph: val acc "
+        f"{hist['val_acc'][-1]:.3f} after 3 epochs "
+        f"({steps} sampled steps, {steps / dt:.1f} steps/s end-to-end)"
+    )
+
 
 if __name__ == "__main__":
     main()
