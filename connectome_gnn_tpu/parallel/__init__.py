@@ -31,10 +31,12 @@ from connectome_gnn_tpu.parallel.hybrid_partition import (
 )
 from connectome_gnn_tpu.parallel.edge_partition import (
     EdgePartitionedGCN,
+    EdgePartitionedSAGE,
     PartitionedGraph,
     make_partitioned_train_step,
     partition_graph,
     partitioned_gcn_layer,
+    partitioned_sage_layer,
 )
 from connectome_gnn_tpu.parallel.mesh import create_mesh
 
@@ -45,6 +47,7 @@ __all__ = [
     "process_count",
     "process_index",
     "EdgePartitionedGCN",
+    "EdgePartitionedSAGE",
     "PartitionedBanded",
     "PartitionedHybrid",
     "ShardedBandedGCN",
@@ -63,6 +66,7 @@ __all__ = [
     "stack_partitioned",
     "partition_graph",
     "partitioned_gcn_layer",
+    "partitioned_sage_layer",
     "shard_batch",
     "stack_batches",
 ]

@@ -9,22 +9,30 @@ parallelism (SURVEY §5).  Layout:
   ``D · P_local`` and device ``d`` owns rows ``[d·P_local, (d+1)·P_local)``
   of the feature matrix.
 * **Edges are partitioned by receiver block**: device ``d`` owns every edge
-  whose receiver lives in its node block, stored with *global* sender ids
-  and *local* receiver ids, receiver-sorted (CSR within the shard).
-  Aggregation is therefore entirely local once sender features are visible.
-* **Boundary exchange**: sender features are made visible with an
-  ``all_gather`` over the mesh axis (transform-then-gather: the dense
-  ``xW`` runs on local rows, then the [P_total, H] activations are
-  gathered).  All-gather rides ICI as XLA's collective; a
-  halo/``ppermute`` exchange that moves only boundary nodes is the planned
-  refinement for higher scale.
-* **Degrees are exact**: per-shard partial sender-degrees are psummed, so
-  normalization matches the unpartitioned computation for arbitrary
-  (even asymmetric) edge sets.
+  whose receiver lives in its node block, receiver-sorted (CSR within the
+  shard).  Aggregation is therefore entirely local once sender rows are
+  visible.
+* **Boundary exchange is a static send-table all_to_all, not an
+  all_gather**: for each ordered shard pair ``(i → j)``, the unique sender
+  rows ``j`` needs from ``i`` are precomputed host-side into a padded
+  ``send_idx [D, D, U]`` table; every layer ships exactly those rows
+  (``exchange_rows``) and edges index a ``[local rows ‖ received rows]``
+  table through ``src_slot``.  Traffic per layer is ``D·U·H`` (``U`` =
+  max borrowed rows per pair) instead of the full-feature all-gather's
+  ``(D-1)·P_local·H`` — for receiver-local graphs ``U ≪ P_local``; in the
+  worst case (every row borrowed by every shard) it degrades to the
+  all-gather volume, never worse.  This is the same machinery the hybrid
+  banded path uses for its shortcut remainder
+  (:mod:`~connectome_gnn_tpu.parallel.hybrid_partition`), applied to the
+  whole irregular edge set.
+* **Degrees are exact**: sender-degree contributions accumulate in slot
+  space; partial sums for borrowed rows are returned to their owner shard
+  by the reverse ``all_to_all`` (``reverse_scatter``) — normalization
+  matches the unpartitioned computation for arbitrary edge sets.
 
-``EdgePartitionedGCN`` is the node-level model for this mode (L GCN
-convolutions + BatchNorm/ReLU + per-node linear head — no pooling), the
-framework's node-classification family.
+``EdgePartitionedGCN`` / ``EdgePartitionedSAGE`` are the node-level models
+for this mode (L convolutions + sync-BatchNorm + per-node linear head —
+no pooling), the framework's irregular-giant-graph classification family.
 """
 
 from __future__ import annotations
@@ -40,6 +48,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from connectome_gnn_tpu.data.batch import round_up
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.models.node_gcn import init_node_gcn_params
+from connectome_gnn_tpu.models.node_sage import init_node_sage_params
 from connectome_gnn_tpu.parallel.shard_forward import (
     ShardMapForwardMixin,
     apply_global_update,
@@ -54,15 +63,21 @@ EPS = 1e-8
 class PartitionedGraph:
     """A single giant graph, node/edge-partitioned over ``D`` shards.
 
-    All leaves carry the leading shard axis ``D`` (sharded with
-    ``P(axis)`` under ``shard_map``).
+    All array leaves carry the leading shard axis (sharded ``P(axis)``
+    under ``shard_map``).  Senders are addressed through ``src_slot``: an
+    index into the per-shard concatenated ``[P_local local rows ‖ D·U
+    received rows]`` table (slot ``p_local + i·U + u`` = the ``u``-th row
+    borrowed from shard ``i``).  ``send_idx[i, j, u]`` is the local row
+    (on shard ``i``) of the ``u``-th row shard ``j`` borrows from it;
+    padding slots hold the sentinel ``P_local``.
 
     Attributes
     ----------
     node_features : float32 [D, P_local, F]
-    senders : int32 [D, E_local]       global sender ids
+    src_slot : int32 [D, E_local]      slot-table sender index
     receivers : int32 [D, E_local]     local receiver ids (within shard)
     edge_weight : float32 [D, E_local] 0 for padding
+    send_idx : int32 [D, D, U]
     node_mask : bool [D, P_local]
     labels : int32 [D, P_local]        per-node labels (0 where unlabeled)
     label_mask : bool [D, P_local]
@@ -70,9 +85,10 @@ class PartitionedGraph:
     """
 
     node_features: jnp.ndarray
-    senders: jnp.ndarray
+    src_slot: jnp.ndarray
     receivers: jnp.ndarray
     edge_weight: jnp.ndarray
+    send_idx: jnp.ndarray
     node_mask: jnp.ndarray
     labels: jnp.ndarray
     label_mask: jnp.ndarray
@@ -86,6 +102,11 @@ class PartitionedGraph:
     def total_nodes(self) -> int:
         return self.num_shards * self.nodes_per_shard
 
+    @property
+    def borrowed_rows(self) -> int:
+        """Static per-pair borrowed-row budget ``U``."""
+        return int(self.send_idx.shape[-1])
+
 
 def partition_graph(
     graph: ConnectomeGraph,
@@ -94,39 +115,62 @@ def partition_graph(
     node_labels: Optional[np.ndarray] = None,
     node_multiple: int = 8,
     edge_multiple: int = 128,
+    slot_multiple: int = 8,
     shard_range: Optional[tuple[int, int]] = None,
 ) -> PartitionedGraph:
     """Partition one graph into a :class:`PartitionedGraph` (host side).
 
     Nodes are split into ``num_shards`` contiguous blocks (pad the id space
-    first); edges go to the shard owning their receiver.  ``node_labels``
+    first); edges go to the shard owning their receiver, with senders
+    resolved to slot-table indices and the per-pair unique borrowed rows
+    packed into the static ``send_idx`` exchange table.  ``node_labels``
     enables node-level supervision.
 
     ``shard_range=(lo, hi)`` materializes only shards ``[lo, hi)`` (the
-    multi-process path: each process builds its own slice, to be lifted
-    into a global array by
-    :func:`~connectome_gnn_tpu.parallel.distributed.assemble_global`; the
-    static paddings stay GLOBAL so all processes produce one shape).
+    multi-process path; static paddings and the exchange metadata stay
+    GLOBAL so every process produces one shape).
     """
     n = graph.num_nodes
     p_local = round_up(-(-n // num_shards), node_multiple)
-    total = num_shards * p_local
-    lo, hi = shard_range if shard_range is not None else (0, num_shards)
-    if not 0 <= lo < hi <= num_shards:
-        raise ValueError(f"bad shard_range {(lo, hi)} for D={num_shards}")
+    D = num_shards
+    lo, hi = shard_range if shard_range is not None else (0, D)
+    if not 0 <= lo < hi <= D:
+        raise ValueError(f"bad shard_range {(lo, hi)} for D={D}")
     d_here = hi - lo
 
     src = graph.edge_index[0].astype(np.int64)
     dst = graph.edge_index[1].astype(np.int64)
     w = graph.edge_weight
-    owner = dst // p_local
+    d_r, r_loc = dst // p_local, dst % p_local
+    d_s, s_loc = src // p_local, src % p_local
 
-    counts = np.bincount(owner, minlength=num_shards)
+    counts = np.bincount(d_r, minlength=D)
     e_local = round_up(int(counts.max()) if counts.size else 1, edge_multiple)
 
+    # pass 1: unique borrowed rows per ordered shard pair (i → j), global —
+    # every process needs the full table to resolve its own slots
+    uniques: list[list[np.ndarray]] = [
+        [np.empty(0, np.int64)] * D for _ in range(D)
+    ]
+    for j in range(D):
+        mask_j = d_r == j
+        for i in range(D):
+            if i == j:
+                continue
+            uniques[i][j] = np.unique(s_loc[mask_j & (d_s == i)])
+    max_u = max((len(u) for row in uniques for u in row), default=0)
+    U = max(slot_multiple, -(-max_u // slot_multiple) * slot_multiple)
+
+    send_idx = np.full((d_here, D, U), p_local, np.int32)
+    for i in range(lo, hi):
+        for j in range(D):
+            rows = uniques[i][j]
+            send_idx[i - lo, j, : len(rows)] = rows
+
+    # pass 2: per-shard edge arrays with slot-resolved senders
     F = graph.num_features
     x = np.zeros((d_here, p_local, F), np.float32)
-    senders = np.zeros((d_here, e_local), np.int32)
+    src_slot = np.zeros((d_here, e_local), np.int32)
     receivers = np.zeros((d_here, e_local), np.int32)
     weights = np.zeros((d_here, e_local), np.float32)
     node_mask = np.zeros((d_here, p_local), bool)
@@ -134,9 +178,7 @@ def partition_graph(
     label_mask = np.zeros((d_here, p_local), bool)
 
     def slab(flat):
-        """Rows ``[lo*p_local, hi*p_local)`` of a conceptual [total, ...]
-        array, zero-padded past ``n`` — built without materializing the
-        full id space."""
+        """Rows ``[lo·p_local, hi·p_local)`` of the padded node space."""
         a, b = lo * p_local, hi * p_local
         out = np.zeros((b - a,) + flat.shape[1:], flat.dtype)
         if a < n:
@@ -149,71 +191,140 @@ def partition_graph(
         labels[:] = slab(np.asarray(node_labels, np.int32))
         label_mask[:] = node_mask
 
-    for d in range(lo, hi):
-        sel = owner == d
-        e = int(sel.sum())
+    for j in range(lo, hi):
+        mask_j = d_r == j
+        rj, wj = r_loc[mask_j], w[mask_j]
+        sj_shard, sj_loc = d_s[mask_j], s_loc[mask_j]
+        slot = np.empty(len(rj), np.int64)
+        local = sj_shard == j
+        slot[local] = sj_loc[local]
+        for i in range(D):
+            if i == j:
+                continue
+            m = sj_shard == i
+            if not m.any():
+                continue
+            pos = np.searchsorted(uniques[i][j], sj_loc[m])
+            slot[m] = p_local + i * U + pos
         # receiver-sorted within the shard (stable → deterministic)
-        order = np.argsort(dst[sel], kind="stable")
-        senders[d - lo, :e] = src[sel][order]
-        receivers[d - lo, :e] = (dst[sel][order] - d * p_local).astype(np.int32)
-        weights[d - lo, :e] = w[sel][order]
+        order = np.argsort(rj, kind="stable")
+        e = len(rj)
+        src_slot[j - lo, :e] = slot[order]
+        receivers[j - lo, :e] = rj[order].astype(np.int32)
+        weights[j - lo, :e] = wj[order]
 
     return PartitionedGraph(
         node_features=jnp.asarray(x),
-        senders=jnp.asarray(senders),
+        src_slot=jnp.asarray(src_slot),
         receivers=jnp.asarray(receivers),
         edge_weight=jnp.asarray(weights),
+        send_idx=jnp.asarray(send_idx),
         node_mask=jnp.asarray(node_mask),
         labels=jnp.asarray(labels),
         label_mask=jnp.asarray(label_mask),
-        num_shards=num_shards,
+        num_shards=D,
     )
+
+
+def _partitioned_normalization(shard: PartitionedGraph, axis_name: str):
+    """Exact GCN symmetric normalization over the partitioned layout.
+
+    Layer-invariant — computed once per forward.  Returns
+    ``(w_norm [E_local], self_norm [P_local])``: per-edge and self-loop
+    scale factors matching :func:`~connectome_gnn_tpu.ops.gcn_norm.
+    gcn_normalize` (self-loop weight 1.0, reference epsilons).
+    """
+    from connectome_gnn_tpu.parallel.hybrid_partition import (
+        exchange_rows,
+        reverse_scatter,
+    )
+
+    p_local = shard.node_features.shape[0]
+    n_slots = p_local + shard.send_idx.size
+
+    # sender degrees in slot space; borrowed partials go home via the
+    # reverse all_to_all
+    contrib = jax.ops.segment_sum(
+        shard.edge_weight, shard.src_slot, num_segments=n_slots
+    )
+    deg = contrib[:p_local] + reverse_scatter(
+        contrib[p_local:].reshape(shard.send_idx.shape),
+        shard.send_idx, p_local, axis_name,
+    )
+    deg = deg + 1.0  # self-loop weight 1.0
+    dinv = jax.lax.rsqrt(deg + EPS)
+
+    dinv_table = jnp.concatenate(
+        [dinv, exchange_rows(dinv, shard.send_idx, axis_name).reshape(-1)]
+    )
+    w_norm = dinv_table[shard.src_slot] * shard.edge_weight * dinv[shard.receivers]
+    return w_norm, dinv * dinv
 
 
 def partitioned_gcn_layer(
     params: dict,
-    x_local: jnp.ndarray,     # [P_local, F]
-    senders: jnp.ndarray,     # [E_local] global ids
-    receivers: jnp.ndarray,   # [E_local] local ids
-    edge_weight: jnp.ndarray, # [E_local]
+    x_local: jnp.ndarray,        # [P_local, F]
+    shard: PartitionedGraph,     # local (leading-axis-dropped) view
     axis_name: str,
+    *,
+    w_norm: Optional[jnp.ndarray] = None,
+    self_norm: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One GCN convolution over the partitioned layout (inside shard_map).
 
-    Same numerics as :func:`gcn_layer_apply`: sender-degree symmetric
-    normalization with self-loop weight 1.0 and the reference epsilons.
+    Same numerics as :func:`gcn_layer_apply`; boundary exchange is one
+    ``all_to_all`` of the transformed activations' borrowed rows
+    (transform-then-exchange: the dense ``xW`` runs on local rows first,
+    so the exchange moves width-``H`` rows, never raw features).
     """
+    from connectome_gnn_tpu.parallel.hybrid_partition import remainder_table
+
+    if w_norm is None or self_norm is None:
+        w_norm, self_norm = _partitioned_normalization(shard, axis_name)
     p_local = x_local.shape[0]
-    d = jax.lax.axis_index(axis_name)
-    num_shards = jax.lax.axis_size(axis_name)
-    total = p_local * num_shards
-
-    # Exact sender degrees: partial scatter into the full id space, psummed.
-    deg_partial = jax.ops.segment_sum(edge_weight, senders, num_segments=total)
-    deg = jax.lax.psum(deg_partial, axis_name) + 1.0  # + self-loop
-    dinv = jax.lax.rsqrt(deg + EPS)  # [total], replicated
-    dinv_local = jax.lax.dynamic_slice_in_dim(dinv, d * p_local, p_local)
-
-    # Transform locally, then gather the activations (boundary exchange).
-    xw_local = jnp.dot(x_local, params["kernel"], preferred_element_type=jnp.float32)
-    xw_full = jax.lax.all_gather(xw_local, axis_name, tiled=True)  # [total, H]
-
-    w_norm = dinv[senders] * edge_weight * dinv_local[receivers]
-    msg = xw_full[senders] * w_norm[:, None]
+    xw = jnp.dot(x_local, params["kernel"], preferred_element_type=jnp.float32)
+    table = remainder_table(xw, shard, axis_name)  # [P_local + D·U, H]
+    msg = table[shard.src_slot] * w_norm[:, None]
     out = jax.ops.segment_sum(
-        msg, receivers, num_segments=p_local, indices_are_sorted=True
+        msg, shard.receivers, num_segments=p_local, indices_are_sorted=True
     )
-    out = out + (dinv_local * dinv_local)[:, None] * xw_local
+    out = out + self_norm[:, None] * xw
     return out + params["bias"]
 
 
-class EdgePartitionedGCN(ShardMapForwardMixin):
-    """Node-level GCN over an edge-partitioned giant graph.
+def partitioned_sage_layer(
+    params: dict,
+    x_local: jnp.ndarray,
+    shard: PartitionedGraph,
+    axis_name: str,
+) -> jnp.ndarray:
+    """One SAGE convolution over the partitioned layout (inside shard_map).
 
-    Architecture: L partitioned GCN convolutions, each followed by
-    cross-shard-synchronized BatchNorm, ReLU and dropout, then a per-node
-    linear head → ``[P_local, num_classes]`` logits per shard.
+    SAGE's mean normalizer is the receiver-side weight sum — entirely
+    local; the only exchange is the borrowed activation rows (raw
+    features/hidden state here: SAGE concatenates pre-transform, reference
+    models.py:146-152).
     """
+    from connectome_gnn_tpu.parallel.hybrid_partition import remainder_table
+
+    p_local = x_local.shape[0]
+    w_sum = jax.ops.segment_sum(
+        shard.edge_weight, shard.receivers, num_segments=p_local,
+        indices_are_sorted=True,
+    )
+    table = remainder_table(x_local, shard, axis_name)
+    msg = table[shard.src_slot] * shard.edge_weight[:, None]
+    agg = jax.ops.segment_sum(
+        msg, shard.receivers, num_segments=p_local, indices_are_sorted=True
+    ) / (w_sum + EPS)[:, None]
+    return jax.nn.relu(
+        dense_apply(params, jnp.concatenate([x_local, agg], axis=1))
+    )
+
+
+class _EdgePartitionedModel(ShardMapForwardMixin):
+    """Shared skeleton: L partitioned convolutions + cross-shard sync-BN +
+    per-node linear head."""
 
     def __init__(
         self,
@@ -229,12 +340,6 @@ class EdgePartitionedGCN(ShardMapForwardMixin):
         self.num_layers = int(num_layers)
         self.dropout = float(dropout)
 
-    def init(self, key: jax.Array) -> tuple[dict, dict]:
-        return init_node_gcn_params(
-            key, self.in_channels, self.hidden_dim, self.num_classes,
-            self.num_layers,
-        )
-
     def apply_shard(
         self,
         params: dict,
@@ -242,6 +347,7 @@ class EdgePartitionedGCN(ShardMapForwardMixin):
         pgraph_shard: PartitionedGraph,
         *,
         axis_name: str,
+        stats_axes=None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, dict]:
@@ -250,6 +356,8 @@ class EdgePartitionedGCN(ShardMapForwardMixin):
         ``pgraph_shard`` is the local view (leading shard axis dropped).
         Returns per-node logits ``[P_local, C]`` and updated BN state.
         """
+        if stats_axes is None:
+            stats_axes = axis_name
         x = pgraph_shard.node_features
         new_norms = []
         if train and rng is not None:
@@ -258,32 +366,68 @@ class EdgePartitionedGCN(ShardMapForwardMixin):
             drop_keys = jax.random.split(rng, self.num_layers)
         else:
             drop_keys = [None] * self.num_layers
+        norm = (
+            _partitioned_normalization(pgraph_shard, axis_name)
+            if self._needs_norm
+            else None
+        )
         for i in range(self.num_layers):
-            x = partitioned_gcn_layer(
-                params["convs"][i],
-                x,
-                pgraph_shard.senders,
-                pgraph_shard.receivers,
-                pgraph_shard.edge_weight,
-                axis_name,
-            )
+            x = self._layer(params["convs"][i], x, pgraph_shard, axis_name, norm)
             x, bn_state = batch_norm_apply(
                 params["norms"][i],
                 state["norms"][i],
                 x,
                 pgraph_shard.node_mask,
                 train=train,
-                axis_name=axis_name,
+                axis_name=stats_axes,
             )
             new_norms.append(bn_state)
-            x = jax.nn.relu(x)
+            if self._relu_after_norm:
+                x = jax.nn.relu(x)
             x = dropout(drop_keys[i], x, self.dropout, train=train)
         logits = dense_apply(params["head"], x)
         return logits, {"norms": new_norms}
 
 
+class EdgePartitionedGCN(_EdgePartitionedModel):
+    """Node-level GCN over an edge-partitioned giant graph."""
+
+    _needs_norm = True
+    _relu_after_norm = True
+
+    def init(self, key: jax.Array) -> tuple[dict, dict]:
+        return init_node_gcn_params(
+            key, self.in_channels, self.hidden_dim, self.num_classes,
+            self.num_layers,
+        )
+
+    def _layer(self, conv_params, x, shard, axis_name, norm):
+        w_norm, self_norm = norm
+        return partitioned_gcn_layer(
+            conv_params, x, shard, axis_name,
+            w_norm=w_norm, self_norm=self_norm,
+        )
+
+
+class EdgePartitionedSAGE(_EdgePartitionedModel):
+    """Node-level GraphSAGE over an edge-partitioned giant graph (ReLU
+    inside the layer, none after BN — the reference asymmetry)."""
+
+    _needs_norm = False
+    _relu_after_norm = False
+
+    def init(self, key: jax.Array) -> tuple[dict, dict]:
+        return init_node_sage_params(
+            key, self.in_channels, self.hidden_dim, self.num_classes,
+            self.num_layers,
+        )
+
+    def _layer(self, conv_params, x, shard, axis_name, norm):
+        return partitioned_sage_layer(conv_params, x, shard, axis_name)
+
+
 def make_partitioned_train_step(
-    model: EdgePartitionedGCN,
+    model: _EdgePartitionedModel,
     optimizer,
     mesh: Mesh,
     axis_name: str = "edge",
