@@ -63,6 +63,10 @@ def _build_and_load() -> ctypes.CDLL:
     lib.cgt_rcm.restype = None
     lib.cgt_band_pack.argtypes = [c_i64, p_i64, p_i64, p_f32, c_i64, c_i64, p_f32]
     lib.cgt_band_pack.restype = None
+    lib.cgt_band_pack_range.argtypes = [
+        c_i64, p_i64, p_i64, p_f32, c_i64, c_i64, c_i64, c_i64, p_f32,
+    ]
+    lib.cgt_band_pack_range.restype = None
     lib.cgt_dense_pack.argtypes = [c_i64, p_i64, p_i64, p_f32, c_i64, p_f32]
     lib.cgt_dense_pack.restype = None
     lib.cgt_sample_subgraph.argtypes = [
@@ -120,6 +124,36 @@ def band_pack(
         np.ascontiguousarray(weights, np.float32),
         block,
         int(bandwidth),
+        band,
+    )
+
+
+def band_pack_range(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    band: np.ndarray,
+    bandwidth: int,
+    rb_lo: int,
+) -> None:
+    """Accumulate COO edges into a zeroed ``[nb_rows, 2W+1, block, block]``
+    slab covering global block rows ``[rb_lo, rb_lo + nb_rows)`` in place.
+
+    Edges with receiver blocks outside the window are skipped; visiting
+    edges in input order keeps the slab bitwise-equal to the matching
+    rows of a full :func:`band_pack` band — the streamed per-shard ingest
+    primitive (each process packs only its own shards' rows).
+    """
+    block = band.shape[2]
+    _lib.cgt_band_pack_range(
+        senders.shape[0],
+        np.ascontiguousarray(senders, np.int64),
+        np.ascontiguousarray(receivers, np.int64),
+        np.ascontiguousarray(weights, np.float32),
+        block,
+        int(bandwidth),
+        int(rb_lo),
+        band.shape[0],
         band,
     )
 

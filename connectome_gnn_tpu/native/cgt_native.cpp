@@ -82,6 +82,30 @@ void cgt_band_pack(int64_t e, const int64_t* senders,
   }
 }
 
+// Row-block-windowed COO → block-band packing for streamed per-shard
+// ingest: band is a slab of nb_rows block rows starting at global block
+// row rb_lo; edges whose receiver block falls outside [rb_lo,
+// rb_lo+nb_rows) are skipped.  Visiting edges in input order regardless
+// of the window keeps the per-cell accumulation order identical to a
+// full-band cgt_band_pack, so the slab is bitwise-equal to the matching
+// rows of the full band.  band must be zero-initialized, shape
+// [nb_rows, 2W+1, block, block] C-order.
+void cgt_band_pack_range(int64_t e, const int64_t* senders,
+                         const int64_t* receivers, const float* weights,
+                         int64_t block, int64_t W, int64_t rb_lo,
+                         int64_t nb_rows, float* band) {
+  const int64_t d1 = (2 * W + 1) * block * block;
+  const int64_t d2 = block * block;
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t r = receivers[i];
+    const int64_t s = senders[i];
+    const int64_t rb = r / block - rb_lo;
+    if (rb < 0 || rb >= nb_rows) continue;
+    const int64_t d = s / block - r / block + W;
+    band[rb * d1 + d * d2 + (r % block) * block + (s % block)] += weights[i];
+  }
+}
+
 // Dense [n, n] adjacency accumulation: adj[r, s] += w.
 // Mirrors np.add.at in the dense collate path.
 void cgt_dense_pack(int64_t e, const int64_t* senders,

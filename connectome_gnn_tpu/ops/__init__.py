@@ -24,6 +24,13 @@ from connectome_gnn_tpu.ops.banded import (
     to_banded,
     to_hybrid,
 )
+from connectome_gnn_tpu.ops.banded_quant import (
+    QuantizedBandedMatrix,
+    banded_spmm_quant,
+    banded_spmm_quant_xla,
+    dequantize_band,
+    quantize_band,
+)
 from connectome_gnn_tpu.ops.fused_pallas import (
     forward_auto,
     fused_gcn_forward,
@@ -43,9 +50,14 @@ __all__ = [
     "BandedMatrix",
     "HybridMatrix",
     "GCNNorm",
+    "QuantizedBandedMatrix",
     "banded_block_diag",
     "banded_row_sum",
     "banded_spmm",
+    "banded_spmm_quant",
+    "banded_spmm_quant_xla",
+    "dequantize_band",
+    "quantize_band",
     "coo_spmm",
     "forward_auto",
     "fused_gcn_forward",

@@ -1,0 +1,180 @@
+"""Int8-quantized banded SpMM — beating HBM bandwidth at north-star scale.
+
+The f32 banded path (:func:`~connectome_gnn_tpu.ops.banded.banded_spmm`)
+is HBM-bound on *band bytes* at the 1M-node config (~5.4 GB per pass;
+XLA runs it at ~88% of achievable bandwidth — see the measured
+comparison in ``ops/banded_pallas.py``).  The only way past it is to
+shrink the dominant traffic: this module stores the band as **int8 with
+one f32 scale per (row-block, diagonal) tile** (4× less band traffic)
+and streams activations as bf16 (2× less), with all accumulation in f32
+on the MXU.  XLA cannot express "dequantize inside the contraction
+without materializing the f32 band", so this is exactly the case the
+Pallas kernel was kept for (``ops/banded_pallas.py`` docstring).
+
+Quantization error is bounded per entry by ``scale/2 = tile_maxabs/254``
+(round-to-nearest), i.e. ~0.2% of the tile's largest weight; the bf16
+activation cast contributes ≤2⁻⁸ relative.  The equivalence bound vs the
+f32 path is asserted in ``tests/test_banded_quant.py``.
+
+Kernel structure (``banded_spmm_quant``): the grid walks panels of ``R``
+row blocks; per step Mosaic double-buffers the ``[R, 2W+1, block,
+block]`` int8 band slab and ``K = 1 + ceil(2W/R)`` shifted bf16
+activation refs (consecutive panels overlap by ``2W`` blocks — the
+multi-ref trick expresses the overlapping window with block-aligned
+index maps).  Panels amortize per-step pipeline overhead AND cut
+activation re-reads from ``2W+1``× (the per-block f32 kernel) to
+``(R+2W)/R``×.
+
+Reference counterpart: the torch scatter ops this whole banded family
+replaces (`/root/reference/connectome_gnn/models.py:45-54`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from connectome_gnn_tpu.ops.banded import BandedMatrix
+
+
+class QuantizedBandedMatrix(NamedTuple):
+    """Per-tile symmetric int8 quantization of a :class:`BandedMatrix`.
+
+    ``band_q`` is ``[NB, 2W+1, block, block]`` int8; ``scales`` is
+    ``[NB, 2W+1]`` f32 with ``band ≈ band_q · scales[..., None, None]``.
+    """
+
+    band_q: jnp.ndarray
+    scales: jnp.ndarray
+    num_nodes: int
+    bandwidth: int
+
+    @property
+    def block(self) -> int:
+        return int(self.band_q.shape[2])
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.band_q.shape[0])
+
+
+@jax.jit
+def _quantize(band: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    maxabs = jnp.max(jnp.abs(band), axis=(2, 3))
+    scales = jnp.where(maxabs > 0, maxabs / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round(band / scales[:, :, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scales
+
+
+def quantize_band(a: BandedMatrix) -> QuantizedBandedMatrix:
+    """Symmetric per-tile int8 quantization (device side, jitted).
+
+    Max entry error is ``scales/2`` (round-to-nearest of ``band/scale``
+    with ``scale = tile_maxabs/127``); all-zero tiles get scale 1.
+    """
+    q, scales = _quantize(a.band)
+    return QuantizedBandedMatrix(q, scales, a.num_nodes, a.bandwidth)
+
+
+def dequantize_band(q: QuantizedBandedMatrix) -> BandedMatrix:
+    """f32 band reconstruction — the XLA-path oracle for the kernel."""
+    band = q.band_q.astype(jnp.float32) * q.scales[:, :, None, None]
+    return BandedMatrix(band, q.num_nodes, q.bandwidth)
+
+
+def banded_spmm_quant_xla(
+    q: QuantizedBandedMatrix, x: jnp.ndarray
+) -> jnp.ndarray:
+    """``A_q @ x`` via XLA: dequantize then einsum.
+
+    Materializes the f32 band (4× the int8 traffic) — exists as the
+    correctness oracle and the honest XLA baseline the Pallas kernel is
+    measured against.
+    """
+    from connectome_gnn_tpu.ops.banded import banded_spmm
+
+    return banded_spmm(dequantize_band(q), x)
+
+
+def banded_spmm_quant(
+    q: QuantizedBandedMatrix,
+    x: jnp.ndarray,
+    *,
+    rows_per_step: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``A_q @ x`` in one fused Pallas kernel (int8 band, bf16 x, f32 acc).
+
+    Returns f32 ``[num_nodes, F]``.  ``rows_per_step`` is the panel size
+    ``R`` (clamped to the largest divisor of the block count); per grid
+    step the kernel performs ``R·(2W+1)`` MXU matmuls
+    ``scale · (int8→bf16 tile) @ bf16 x-block`` accumulated in f32.
+    """
+    block, nb, W = q.block, q.num_blocks, q.bandwidth
+    D = 2 * W + 1
+    padded = nb * block
+    F = x.shape[1]
+
+    R = max(1, min(int(rows_per_step), nb))
+    while nb % R:
+        R -= 1
+    K = 1 + -(-2 * W // R)  # shifted refs covering the R+2W-block window
+
+    # x blocks in the W-shifted frame: x_pad[w] = x[(w-W)·block : ...]
+    x_pad = jnp.zeros(((nb // R + K) * R * block, F), jnp.bfloat16)
+    x_pad = jax.lax.dynamic_update_slice(
+        x_pad, x[: q.num_nodes].astype(jnp.bfloat16), (W * block, 0)
+    ).reshape(-1, block, F)
+
+    def kernel(scales_ref, band_ref, *refs):
+        x_refs, out_ref = refs[:-1], refs[-1]
+        for r in range(R):
+            acc = jnp.zeros((block, F), jnp.float32)
+            for d in range(D):
+                k, row = divmod(r + d, R)
+                tile = band_ref[r, d].astype(jnp.bfloat16)
+                acc += scales_ref[r, d] * jnp.dot(
+                    tile, x_refs[k][row],
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[r] = acc
+
+    def x_spec(k):
+        return pl.BlockSpec(
+            (R, block, F), lambda i, k=k: (i + k, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb // R,),
+        in_specs=[
+            pl.BlockSpec(
+                (R, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (R, D, block, block), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [x_spec(k) for k in range(K)],
+        out_specs=pl.BlockSpec(
+            (R, block, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, block, F), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * D * block * block * F,
+            bytes_accessed=(
+                q.band_q.size + x_pad.size * 2 + nb * block * F * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q.scales, q.band_q, *([x_pad] * K))
+    return out.reshape(padded, F)[: q.num_nodes]

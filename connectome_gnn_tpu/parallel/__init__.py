@@ -22,12 +22,15 @@ from connectome_gnn_tpu.parallel.banded_partition import (
     make_banded_train_step_2d,
     make_sharded_banded_train_step,
     partition_banded,
+    partition_banded_from_coo,
     stack_partitioned,
 )
 from connectome_gnn_tpu.parallel.hybrid_partition import (
     PartitionedHybrid,
+    hybrid_remainder_capacities,
     partition_hybrid,
     partition_hybrid_cohort,
+    partition_hybrid_from_coo,
 )
 from connectome_gnn_tpu.parallel.edge_partition import (
     EdgePartitionedGCN,
@@ -54,6 +57,9 @@ __all__ = [
     "ShardedBandedSAGE",
     "halo_exchange",
     "partition_banded",
+    "partition_banded_from_coo",
+    "partition_hybrid_from_coo",
+    "hybrid_remainder_capacities",
     "partition_hybrid",
     "partition_hybrid_cohort",
     "PartitionedGraph",

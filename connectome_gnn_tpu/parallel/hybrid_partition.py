@@ -40,6 +40,7 @@ from connectome_gnn_tpu.ops.banded import HybridMatrix
 from connectome_gnn_tpu.parallel.banded_partition import (
     PartitionedBanded,
     partition_banded,
+    partition_banded_from_coo,
 )
 from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
 
@@ -93,6 +94,153 @@ class PartitionedHybrid:
         return int(self.banded.band.shape[-1])
 
 
+def _remainder_metadata(s, r, w, D: int, p_local: int):
+    """Group the remainder COO by ordered shard pair in ONE lexsort pass.
+
+    Replaces per-pair full-array boolean masks (O(D²·E) host work) with an
+    O(E log E) sort: edges are ordered by ``(receiver shard, sender shard,
+    sender local row)``; unique borrowed rows per pair are adjacent-dedups
+    of the sorted slices.  Returns the shard/local decompositions, the
+    pair grouping ``(order, pair_ids, starts, ends)``, the per-pair unique
+    borrowed-row arrays, and the raw ``(max_u, e_loc)`` capacities.
+    """
+    d_r, r_loc = r // p_local, r % p_local
+    d_s, s_loc = s // p_local, s % p_local
+    key = d_r * D + d_s
+    order = np.lexsort((s_loc, key))
+    k_sorted = key[order]
+    pair_ids, starts = np.unique(k_sorted, return_index=True)
+    ends = np.append(starts[1:], k_sorted.size)
+    uniques: dict[tuple[int, int], np.ndarray] = {}
+    max_u = 0
+    for pid, a0, a1 in zip(pair_ids.tolist(), starts.tolist(), ends.tolist()):
+        j, i = divmod(pid, D)  # key = d_r·D + d_s
+        if i == j:
+            continue
+        rows = s_loc[order[a0:a1]]  # sorted ascending by construction
+        keep = np.empty(rows.size, bool)
+        keep[0] = True
+        np.not_equal(rows[1:], rows[:-1], out=keep[1:])
+        u = rows[keep]
+        uniques[(i, j)] = u
+        max_u = max(max_u, u.size)
+    e_loc = int(np.bincount(d_r, minlength=D).max()) if d_r.size else 0
+    return (d_r, r_loc, d_s, s_loc), (order, pair_ids, starts, ends), \
+        uniques, max_u, e_loc
+
+
+def _round_capacities(
+    max_u: int, e_loc: int, edge_multiple: int, slot_multiple: int,
+    edge_capacity: Optional[int], slot_capacity: Optional[int],
+) -> tuple[int, int]:
+    """Static paddings from raw maxima (+ explicit-capacity validation)."""
+    U = max(slot_multiple, -(-max_u // slot_multiple) * slot_multiple)
+    if slot_capacity is not None:
+        if slot_capacity < max_u:
+            raise ValueError(
+                f"slot_capacity={slot_capacity} < required {max_u} borrowed "
+                "rows on some shard pair"
+            )
+        U = int(slot_capacity)
+    E_loc = max(
+        edge_multiple, -(-max(e_loc, 1) // edge_multiple) * edge_multiple
+    )
+    if edge_capacity is not None:
+        if edge_capacity < e_loc:
+            raise ValueError(
+                f"edge_capacity={edge_capacity} < required {e_loc} remainder "
+                "edges on some shard"
+            )
+        E_loc = int(edge_capacity)
+    return E_loc, U
+
+
+def _real_remainder(h: HybridMatrix):
+    """Remainder COO with the static padding slots dropped (int64/f32)."""
+    s = np.asarray(h.remainder_senders, np.int64)
+    r = np.asarray(h.remainder_receivers, np.int64)
+    w = np.asarray(h.remainder_weights, np.float32)
+    real = r < h.band.num_blocks * h.band.block
+    return s[real], r[real], w[real]
+
+
+def hybrid_remainder_capacities(
+    h: HybridMatrix,
+    num_shards: int,
+    *,
+    edge_multiple: int = 128,
+    slot_multiple: int = 8,
+) -> tuple[int, int]:
+    """The ``(edge_capacity, slot_capacity)`` :func:`partition_hybrid`
+    would derive for this graph — a metadata-only probe (no band packing,
+    no feature copies), used by :func:`partition_hybrid_cohort` to unify
+    static paddings without partitioning anything twice."""
+    nb_local = -(-h.band.num_blocks // num_shards)
+    p_local = nb_local * h.band.block
+    s, r, w = _real_remainder(h)
+    _, _, _, max_u, e_loc = _remainder_metadata(s, r, w, num_shards, p_local)
+    return _round_capacities(
+        max_u, e_loc, edge_multiple, slot_multiple, None, None
+    )
+
+
+def _partition_remainder(
+    s: np.ndarray,
+    r: np.ndarray,
+    w: np.ndarray,
+    D: int,
+    p_local: int,
+    lo: int,
+    hi: int,
+    edge_multiple: int,
+    slot_multiple: int,
+    edge_capacity: Optional[int],
+    slot_capacity: Optional[int],
+):
+    """Receiver-owned remainder shard arrays + send tables from real
+    remainder COO (host side, one lexsort — see :func:`_remainder_metadata`).
+    """
+    (d_r, r_loc, d_s, s_loc), (order, pair_ids, starts, ends), uniques, \
+        max_u, e_loc = _remainder_metadata(s, r, w, D, p_local)
+    E_loc, U = _round_capacities(
+        max_u, e_loc, edge_multiple, slot_multiple,
+        edge_capacity, slot_capacity,
+    )
+
+    send_idx = np.full((hi - lo, D, U), p_local, np.int32)
+    for (i, j), rows in uniques.items():
+        if lo <= i < hi:
+            send_idx[i - lo, j, : rows.size] = rows
+
+    # table slots for every edge in one vectorized pass over pair groups
+    slot = np.empty(s.size, np.int64)
+    local = d_s == d_r
+    slot[local] = s_loc[local]
+    for pid, a0, a1 in zip(pair_ids.tolist(), starts.tolist(), ends.tolist()):
+        j, i = divmod(pid, D)
+        if i == j:
+            continue
+        sel = order[a0:a1]
+        slot[sel] = p_local + i * U + np.searchsorted(
+            uniques[(i, j)], s_loc[sel]
+        )
+
+    # receiver-sorted per dst shard (stable lexsort == the per-shard
+    # stable argsort of the masked form, so outputs match it exactly)
+    order_r = np.lexsort((r_loc, d_r))
+    bounds = np.searchsorted(d_r[order_r], np.arange(D + 1))
+    rem_w = np.zeros((hi - lo, E_loc), np.float32)
+    rem_r = np.full((hi - lo, E_loc), p_local, np.int32)
+    rem_slot = np.zeros((hi - lo, E_loc), np.int32)
+    for j in range(lo, hi):
+        sel = order_r[bounds[j] : bounds[j + 1]]
+        k = sel.size
+        rem_w[j - lo, :k] = w[sel]
+        rem_r[j - lo, :k] = r_loc[sel]
+        rem_slot[j - lo, :k] = slot[sel]
+    return rem_w, rem_r, rem_slot, send_idx
+
+
 def partition_hybrid(
     h: HybridMatrix,
     x: np.ndarray,
@@ -129,76 +277,72 @@ def partition_hybrid(
     lo, hi = shard_range if shard_range is not None else (0, D)
     p_local = pb.blocks_per_shard * pb.block
 
-    s = np.asarray(h.remainder_senders, np.int64)
-    r = np.asarray(h.remainder_receivers, np.int64)
-    w = np.asarray(h.remainder_weights, np.float32)
-    real = r < h.band.num_blocks * h.band.block  # drop COO padding slots
-    s, r, w = s[real], r[real], w[real]
-    d_r, r_loc = r // p_local, r % p_local
-    d_s, s_loc = s // p_local, s % p_local
-
-    # pass 1: unique borrowed rows per ordered shard pair
-    uniques: list[list[np.ndarray]] = [
-        [np.empty(0, np.int64)] * D for _ in range(D)
-    ]
-    for j in range(D):  # dst (receiver-owner) shard
-        mask_j = d_r == j
-        for i in range(D):  # src shard
-            if i == j:
-                continue
-            uniques[i][j] = np.unique(s_loc[mask_j & (d_s == i)])
-    max_u = max((len(u) for row in uniques for u in row), default=0)
-    U = max(slot_multiple, -(-max_u // slot_multiple) * slot_multiple)
-    if slot_capacity is not None:
-        if slot_capacity < max_u:
-            raise ValueError(
-                f"slot_capacity={slot_capacity} < required {max_u} borrowed "
-                "rows on some shard pair"
-            )
-        U = int(slot_capacity)
-
-    send_idx = np.full((hi - lo, D, U), p_local, np.int32)
-    for i in range(lo, hi):
-        for j in range(D):
-            rows = uniques[i][j]
-            send_idx[i - lo, j, : len(rows)] = rows
-
-    # pass 2: per-dst-shard edge arrays with table slots
-    e_loc = max(
-        (int((d_r == j).sum()) for j in range(D)), default=0
+    s, r, w = _real_remainder(h)
+    rem_w, rem_r, rem_slot, send_idx = _partition_remainder(
+        s, r, w, D, p_local, lo, hi,
+        edge_multiple, slot_multiple, edge_capacity, slot_capacity,
     )
-    E_loc = max(edge_multiple, -(-max(e_loc, 1) // edge_multiple) * edge_multiple)
-    if edge_capacity is not None:
-        if edge_capacity < e_loc:
-            raise ValueError(
-                f"edge_capacity={edge_capacity} < required {e_loc} remainder "
-                "edges on some shard"
-            )
-        E_loc = int(edge_capacity)
-    rem_w = np.zeros((hi - lo, E_loc), np.float32)
-    rem_r = np.full((hi - lo, E_loc), p_local, np.int32)
-    rem_slot = np.zeros((hi - lo, E_loc), np.int32)
-    for j in range(lo, hi):
-        mask_j = d_r == j
-        rj, wj = r_loc[mask_j], w[mask_j]
-        sj_shard, sj_loc = d_s[mask_j], s_loc[mask_j]
-        slot = np.empty(len(rj), np.int64)
-        local = sj_shard == j
-        slot[local] = sj_loc[local]
-        for i in range(D):
-            if i == j:
-                continue
-            m = sj_shard == i
-            if not m.any():
-                continue
-            pos = np.searchsorted(uniques[i][j], sj_loc[m])
-            slot[m] = p_local + i * U + pos
-        order = np.argsort(rj, kind="stable")  # receiver-sorted per shard
-        k = len(rj)
-        rem_w[j - lo, :k] = wj[order]
-        rem_r[j - lo, :k] = rj[order]
-        rem_slot[j - lo, :k] = slot[order]
+    return PartitionedHybrid(
+        banded=pb,
+        rem_weights=jnp.asarray(rem_w),
+        rem_receivers=jnp.asarray(rem_r),
+        rem_src_slot=jnp.asarray(rem_slot),
+        send_idx=jnp.asarray(send_idx),
+        num_shards=D,
+        bandwidth=pb.bandwidth,
+    )
 
+
+def partition_hybrid_from_coo(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    x: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    *,
+    block: int = 256,
+    bandwidth: int = 4,
+    node_mask: Optional[np.ndarray] = None,
+    labels: Optional[np.ndarray] = None,
+    edge_multiple: int = 128,
+    slot_multiple: int = 8,
+    edge_capacity: Optional[int] = None,
+    slot_capacity: Optional[int] = None,
+    shard_range: Optional[tuple[int, int]] = None,
+) -> PartitionedHybrid:
+    """Streamed hybrid ingest: COO → sharded band slabs + remainder tables
+    without ever materializing the full :class:`HybridMatrix`.
+
+    Splits edges by block distance exactly like
+    :func:`~connectome_gnn_tpu.ops.banded.to_hybrid` (``|sender_block −
+    receiver_block| ≤ bandwidth``), packs the in-band bulk per shard via
+    :func:`~connectome_gnn_tpu.parallel.banded_partition.partition_banded_from_coo`
+    (bitwise-equal slabs), and routes the rest through the same
+    receiver-owned remainder partition as :func:`partition_hybrid`.  The
+    remainder metadata stays globally derived so every process in a
+    ``shard_range`` run produces identical static shapes.
+    """
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    weights = np.asarray(weights, np.float32)
+
+    d = senders // block - receivers // block
+    in_band = np.abs(d) <= bandwidth
+    pb = partition_banded_from_coo(
+        senders[in_band], receivers[in_band], weights[in_band], x,
+        num_nodes, num_shards, block=block, bandwidth=bandwidth,
+        node_mask=node_mask, labels=labels, shard_range=shard_range,
+    )
+    D = num_shards
+    lo, hi = shard_range if shard_range is not None else (0, D)
+    p_local = pb.blocks_per_shard * pb.block
+
+    rem_w, rem_r, rem_slot, send_idx = _partition_remainder(
+        senders[~in_band], receivers[~in_band], weights[~in_band],
+        D, p_local, lo, hi,
+        edge_multiple, slot_multiple, edge_capacity, slot_capacity,
+    )
     return PartitionedHybrid(
         banded=pb,
         rem_weights=jnp.asarray(rem_w),
@@ -222,31 +366,32 @@ def partition_hybrid_cohort(
     and stack them for the 2-D ``("data", "edge")`` mesh.
 
     Per-subject derived remainder paddings differ whenever shortcut
-    counts do, which would break ``stack_partitioned``; this probes each
-    subject once to find the worst-case capacities, re-partitions with
-    them pinned, and returns the stacked pytree (leaves ``[Dd, De, ...]``).
+    counts do, which would break ``stack_partitioned``; worst-case
+    capacities come from the metadata-only probe
+    (:func:`hybrid_remainder_capacities`), so each subject's data is
+    partitioned exactly ONCE with the unified capacities pinned.  Returns
+    the stacked pytree (leaves ``[Dd, De, ...]``).
     """
     from connectome_gnn_tpu.parallel.banded_partition import stack_partitioned
 
     labels = labels if labels is not None else [None] * len(hybrids)
-    probes = [
-        partition_hybrid(h, x, num_shards, labels=lab, **kwargs)
-        for h, x, lab in zip(hybrids, features, labels)
+    probe_kw = {
+        k: kwargs[k]
+        for k in ("edge_multiple", "slot_multiple")
+        if k in kwargs
+    }
+    caps = [
+        hybrid_remainder_capacities(h, num_shards, **probe_kw)
+        for h in hybrids
     ]
-    e_cap = max(int(p.rem_weights.shape[-1]) for p in probes)
-    u_cap = max(int(p.send_idx.shape[-1]) for p in probes)
-    if all(
-        int(p.rem_weights.shape[-1]) == e_cap
-        and int(p.send_idx.shape[-1]) == u_cap
-        for p in probes
-    ):
-        return stack_partitioned(probes)
+    e_cap = max((c[0] for c in caps), default=128)
+    u_cap = max((c[1] for c in caps), default=8)
+    # explicit capacities (if any) take precedence — validated per subject
+    kwargs.setdefault("edge_capacity", e_cap)
+    kwargs.setdefault("slot_capacity", u_cap)
     return stack_partitioned(
         [
-            partition_hybrid(
-                h, x, num_shards, labels=lab,
-                edge_capacity=e_cap, slot_capacity=u_cap, **kwargs,
-            )
+            partition_hybrid(h, x, num_shards, labels=lab, **kwargs)
             for h, x, lab in zip(hybrids, features, labels)
         ]
     )

@@ -1,0 +1,151 @@
+"""Int8-quantized banded SpMM: quantizer bounds + kernel equivalence.
+
+The Pallas kernel is checked against an exact jnp *emulation* of its
+arithmetic (bf16 operands, per-tile f32-accumulated dots, f32 scale) —
+tight tolerance — and against the f32 path within the analytic
+quantization bound (per-entry error ≤ scale/2, bf16 cast ≤ 2⁻⁸·|x|).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from connectome_gnn_tpu.data import generate_spatial_graph
+from connectome_gnn_tpu.ops import (
+    banded_spmm,
+    banded_spmm_quant,
+    banded_spmm_quant_xla,
+    dequantize_band,
+    quantize_band,
+    to_banded,
+)
+
+
+def _banded(seed=0, n=640, block=64, degree=6, band=40, feat=16):
+    g = generate_spatial_graph(
+        n, degree=degree, band=band, num_features=feat, seed=seed
+    )
+    a = to_banded(
+        g.edge_index[0], g.edge_index[1], g.edge_weight, n, block=block
+    )
+    return a, jnp.asarray(g.node_features)
+
+
+def _emulate(q, x):
+    """Exact jnp model of the kernel's arithmetic (any R): per (rb, d)
+    tile, bf16 band × bf16 x block dotted with f32 accumulation, scaled
+    in f32, summed over d in f32."""
+    block, nb, W = q.block, q.num_blocks, q.bandwidth
+    D = 2 * W + 1
+    F = x.shape[1]
+    x_pad = jnp.zeros(((nb + 2 * W) * block, F), jnp.bfloat16)
+    x_pad = jax.lax.dynamic_update_slice(
+        x_pad, x[: q.num_nodes].astype(jnp.bfloat16), (W * block, 0)
+    ).reshape(nb + 2 * W, block, F)
+    out = jnp.zeros((nb, block, F), jnp.float32)
+    for d in range(D):
+        tiles = q.band_q[:, d].astype(jnp.bfloat16)  # [NB, block, block]
+        dots = jnp.einsum(
+            "nij,njf->nif", tiles, x_pad[d : d + nb],
+            preferred_element_type=jnp.float32,
+        )
+        out = out + q.scales[:, d, None, None] * dots
+    return out.reshape(nb * block, F)[: q.num_nodes]
+
+
+class TestQuantize:
+    def test_roundtrip_error_bound(self, cpu_devices):
+        a, _ = _banded()
+        q = quantize_band(a)
+        deq = np.asarray(dequantize_band(q).band)
+        err = np.abs(deq - np.asarray(a.band))
+        # round-to-nearest: |band - q·s| ≤ s/2 (+ float slack)
+        bound = np.asarray(q.scales)[:, :, None, None] / 2 + 1e-6
+        assert (err <= bound).all()
+
+    def test_zero_tiles_stay_zero(self, cpu_devices):
+        a, _ = _banded()
+        q = quantize_band(a)
+        band = np.asarray(a.band)
+        zero_tiles = ~band.any(axis=(2, 3))
+        assert (np.asarray(q.scales)[zero_tiles] == 1.0).all()
+        assert (np.asarray(q.band_q)[zero_tiles] == 0).all()
+
+
+class TestQuantKernel:
+    @pytest.mark.parametrize("rows_per_step", [1, 4, 8])
+    def test_matches_emulation(self, cpu_devices, rows_per_step):
+        a, x = _banded()
+        q = quantize_band(a)
+        want = np.asarray(_emulate(q, x))
+        got = np.asarray(
+            banded_spmm_quant(
+                q, x, rows_per_step=rows_per_step, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_non_divisor_panel_clamps(self, cpu_devices):
+        # 640 nodes / block 64 → nb = 10; rows_per_step 4 clamps to 2
+        a, x = _banded(n=640, block=64)
+        q = quantize_band(a)
+        got = np.asarray(
+            banded_spmm_quant(q, x, rows_per_step=4, interpret=True)
+        )
+        np.testing.assert_allclose(
+            got, np.asarray(_emulate(q, x)), rtol=1e-5, atol=1e-5
+        )
+
+    def test_ragged_tail(self, cpu_devices):
+        # num_nodes not a block multiple: tail rows padded, output sliced
+        a, x = _banded(n=600, block=64)
+        q = quantize_band(a)
+        assert q.num_nodes == 600
+        got = np.asarray(banded_spmm_quant(q, x, interpret=True))
+        assert got.shape == (600, x.shape[1])
+        np.testing.assert_allclose(
+            got, np.asarray(_emulate(q, x)), rtol=1e-5, atol=1e-5
+        )
+
+    def test_equivalence_bound_vs_f32(self, cpu_devices):
+        """|quant − f32| within the analytic per-row bound: quantization
+        contributes ≤ Σ_d scale[rb,d]/2·‖x_win‖₁ and the bf16 casts ≤
+        ~2⁻⁸ of the f32 magnitudes."""
+        a, x = _banded()
+        q = quantize_band(a)
+        f32 = np.asarray(banded_spmm(a, x))
+        quant = np.asarray(banded_spmm_quant(q, x, interpret=True))
+
+        rel = np.linalg.norm(quant - f32) / np.linalg.norm(f32)
+        assert rel < 1e-2, f"relative error {rel:.2e}"
+
+        # per-row analytic quantization bound (bf16 slack folded in at 2⁻⁸)
+        block, nb, W = a.block, a.num_blocks, a.bandwidth
+        xp = np.zeros(((nb + 2 * W) * block, x.shape[1]), np.float32)
+        xp[W * block : W * block + a.num_nodes] = np.asarray(
+            x[: a.num_nodes]
+        )
+        xb = np.abs(xp).reshape(nb + 2 * W, block, x.shape[1]).sum(1)
+        scales = np.asarray(q.scales)
+        qbound = np.zeros((nb, x.shape[1]), np.float32)
+        for d in range(2 * W + 1):
+            qbound += scales[:, d : d + 1] / 2 * xb[d : d + nb]
+        absband = np.abs(np.asarray(a.band)).sum(3)  # [NB, D, block]
+        bf16_slack = np.zeros((nb, block), np.float32)
+        for d in range(2 * W + 1):
+            bf16_slack += absband[:, d] * 2.0 ** (-8)
+        bound = (
+            np.repeat(qbound, block, axis=0)[: a.num_nodes]
+            + (bf16_slack.reshape(-1, 1) * np.abs(xp).max())[: a.num_nodes]
+            + 1e-4
+        )
+        assert (np.abs(quant - f32) <= bound).all()
+
+    def test_xla_oracle_close(self, cpu_devices):
+        a, x = _banded()
+        q = quantize_band(a)
+        xla = np.asarray(banded_spmm_quant_xla(q, x))
+        ker = np.asarray(banded_spmm_quant(q, x, interpret=True))
+        # differ only in activation precision (f32 vs bf16)
+        np.testing.assert_allclose(ker, xla, rtol=2e-2, atol=2e-2)
