@@ -96,15 +96,75 @@ class BandedNodeSAGE:
         rng: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, dict]:
         """Per-node logits ``[num_nodes, C]`` plus updated BN state."""
+        if isinstance(adjacency, HybridMatrix):
+            spmm, w_sum = hybrid_spmm, hybrid_row_sum(adjacency)
+        else:
+            spmm, w_sum = banded_spmm, banded_row_sum(adjacency)
+        return self._forward(
+            params, state, spmm, adjacency, w_sum, x,
+            node_mask=node_mask, train=train, rng=rng,
+        )
+
+    def prepare_quantized(self, adjacency):
+        """One-time serving setup: int8-quantize the (raw-weight) band and
+        precompute the exact f32 mean normalizer.
+
+        Returns ``(adj_q, w_sum)`` for :meth:`apply_quantized`.  SAGE's
+        normalizer is the receiver-side weight sum — computing it from
+        the f32 band BEFORE quantization keeps the mean denominator
+        exact; only the message numerator is rounded.
+        """
+        from connectome_gnn_tpu.ops.banded_quant import (
+            quantize_band,
+            quantize_hybrid,
+        )
+
+        if isinstance(adjacency, HybridMatrix):
+            return quantize_hybrid(adjacency), hybrid_row_sum(adjacency)
+        return quantize_band(adjacency), banded_row_sum(adjacency)
+
+    def apply_quantized(
+        self,
+        params: dict,
+        state: dict,
+        adj_q,
+        w_sum: jnp.ndarray,
+        x: jnp.ndarray,
+        *,
+        node_mask: Optional[jnp.ndarray] = None,
+        rows_per_step: int = 8,
+        interpret: bool = False,
+    ) -> tuple[jnp.ndarray, dict]:
+        """Inference forward over a :func:`prepare_quantized` adjacency
+        (serving-only; BN uses running statistics)."""
+        from functools import partial
+
+        from connectome_gnn_tpu.ops.banded_quant import (
+            QuantizedHybridMatrix,
+            banded_spmm_quant,
+            hybrid_spmm_quant,
+        )
+
+        spmm = partial(
+            hybrid_spmm_quant
+            if isinstance(adj_q, QuantizedHybridMatrix)
+            else banded_spmm_quant,
+            rows_per_step=rows_per_step,
+            interpret=interpret,
+        )
+        return self._forward(
+            params, state, spmm, adj_q, w_sum, x,
+            node_mask=node_mask, train=False, rng=None,
+        )
+
+    def _forward(
+        self, params, state, spmm, adjacency, w_sum, x,
+        *, node_mask, train, rng,
+    ) -> tuple[jnp.ndarray, dict]:
         n = adjacency.num_nodes
         if node_mask is None:
             node_mask = jnp.ones((n,), bool)
-
-        if isinstance(adjacency, HybridMatrix):
-            spmm, w_sum = hybrid_spmm, hybrid_row_sum(adjacency)[:n]
-        else:
-            spmm, w_sum = banded_spmm, banded_row_sum(adjacency)[:n]
-        w_sum = w_sum[:, None]
+        w_sum = w_sum[:n][:, None]
 
         h = x[:n]
         new_norms = []

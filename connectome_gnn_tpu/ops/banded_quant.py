@@ -102,6 +102,57 @@ def banded_spmm_quant_xla(
     return banded_spmm(dequantize_band(q), x)
 
 
+class QuantizedHybridMatrix(NamedTuple):
+    """Hybrid form with an int8 band: quantized local bulk + f32 sparse
+    remainder (the remainder is tiny; quantizing it would save nothing).
+    """
+
+    band: QuantizedBandedMatrix
+    remainder_senders: jnp.ndarray
+    remainder_receivers: jnp.ndarray
+    remainder_weights: jnp.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.band.num_nodes
+
+
+def quantize_hybrid(h) -> QuantizedHybridMatrix:
+    """Quantize a :class:`~connectome_gnn_tpu.ops.banded.HybridMatrix`'s
+    band part; the remainder COO stays f32."""
+    return QuantizedHybridMatrix(
+        quantize_band(h.band),
+        h.remainder_senders,
+        h.remainder_receivers,
+        h.remainder_weights,
+    )
+
+
+def hybrid_spmm_quant(
+    a: QuantizedHybridMatrix,
+    x: jnp.ndarray,
+    *,
+    rows_per_step: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``A @ x`` for the quantized hybrid form: int8-band Pallas bulk +
+    f32 scatter remainder."""
+    from connectome_gnn_tpu.ops.segment import coo_spmm
+
+    out = banded_spmm_quant(
+        a.band, x, rows_per_step=rows_per_step, interpret=interpret
+    )
+    rem = coo_spmm(
+        a.remainder_weights,
+        a.remainder_senders,
+        a.remainder_receivers,
+        x[: a.num_nodes],
+        a.num_nodes,
+        indices_are_sorted=True,
+    )
+    return out + rem
+
+
 def banded_spmm_quant(
     q: QuantizedBandedMatrix,
     x: jnp.ndarray,
@@ -133,13 +184,17 @@ def banded_spmm_quant(
     ).reshape(-1, block, F)
 
     def kernel(scales_ref, band_ref, *refs):
+        # scales_ref is the scalar-prefetch arg: the flat [NB·D] f32
+        # table in SMEM (unblocked — block tiling would demand
+        # (8, 128)-aligned blocks Mosaic rejects for a [R, D] slab)
         x_refs, out_ref = refs[:-1], refs[-1]
+        i = pl.program_id(0)
         for r in range(R):
             acc = jnp.zeros((block, F), jnp.float32)
             for d in range(D):
                 k, row = divmod(r + d, R)
                 tile = band_ref[r, d].astype(jnp.bfloat16)
-                acc += scales_ref[r, d] * jnp.dot(
+                acc += scales_ref[(i * R + r) * D + d] * jnp.dot(
                     tile, x_refs[k][row],
                     preferred_element_type=jnp.float32,
                 )
@@ -147,25 +202,26 @@ def banded_spmm_quant(
 
     def x_spec(k):
         return pl.BlockSpec(
-            (R, block, F), lambda i, k=k: (i + k, 0, 0),
+            (R, block, F), lambda i, s_ref, k=k: (i + k, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     out = pl.pallas_call(
         kernel,
-        grid=(nb // R,),
-        in_specs=[
-            pl.BlockSpec(
-                (R, D), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (R, D, block, block), lambda i: (i, 0, 0, 0),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb // R,),
+            in_specs=[
+                pl.BlockSpec(
+                    (R, D, block, block), lambda i, s_ref: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            + [x_spec(k) for k in range(K)],
+            out_specs=pl.BlockSpec(
+                (R, block, F), lambda i, s_ref: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ]
-        + [x_spec(k) for k in range(K)],
-        out_specs=pl.BlockSpec(
-            (R, block, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nb, block, F), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -176,5 +232,5 @@ def banded_spmm_quant(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q.scales, q.band_q, *([x_pad] * K))
+    )(q.scales.reshape(-1), q.band_q, *([x_pad] * K))
     return out.reshape(padded, F)[: q.num_nodes]

@@ -142,6 +142,91 @@ class TestQuantKernel:
         )
         assert (np.abs(quant - f32) <= bound).all()
 
+    def test_quant_hybrid_spmm(self, cpu_devices):
+        from connectome_gnn_tpu.ops import to_hybrid
+        from connectome_gnn_tpu.ops.banded import hybrid_spmm
+        from connectome_gnn_tpu.ops.banded_quant import (
+            hybrid_spmm_quant,
+            quantize_hybrid,
+        )
+
+        g = generate_spatial_graph(
+            640, degree=6, band=40, num_features=16, seed=3,
+            shortcut_frac=0.15,
+        )
+        h = to_hybrid(
+            g.edge_index[0], g.edge_index[1], g.edge_weight, 640,
+            block=64, bandwidth=1,
+        )
+        x = jnp.asarray(g.node_features)
+        hq = quantize_hybrid(h)
+        got = np.asarray(hybrid_spmm_quant(hq, x, interpret=True))
+        want = np.asarray(hybrid_spmm(h, x))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 1e-2, rel
+
+
+class TestQuantizedServing:
+    """Model-level int8 serving: prepare_quantized + apply_quantized."""
+
+    @pytest.mark.parametrize("shortcut_frac", [0.0, 0.15])
+    def test_node_gcn(self, cpu_devices, shortcut_frac):
+        from connectome_gnn_tpu.models import BandedNodeGCN
+        from connectome_gnn_tpu.ops import to_hybrid
+
+        g = generate_spatial_graph(
+            640, degree=6, band=40, seed=11, shortcut_frac=shortcut_frac
+        )
+        if shortcut_frac:
+            a = to_hybrid(
+                g.edge_index[0], g.edge_index[1], g.edge_weight, 640,
+                block=64, bandwidth=1,
+            )
+        else:
+            a = to_banded(
+                g.edge_index[0], g.edge_index[1], g.edge_weight, 640,
+                block=64,
+            )
+        x = jnp.asarray(g.node_features)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=32, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        want, _ = model.apply(params, state, a, x, train=False)
+        adj_q, dinv = model.prepare_quantized(a)
+        got, _ = model.apply_quantized(
+            params, state, adj_q, dinv, x, interpret=True
+        )
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 5e-2, rel
+        # predictions should essentially agree
+        agree = float(
+            jnp.mean(jnp.argmax(got, 1) == jnp.argmax(want, 1))
+        )
+        assert agree > 0.99, agree
+
+    def test_node_sage(self, cpu_devices):
+        from connectome_gnn_tpu.models import BandedNodeSAGE
+
+        g = generate_spatial_graph(640, degree=6, band=40, seed=12)
+        a = to_banded(
+            g.edge_index[0], g.edge_index[1], g.edge_weight, 640, block=64
+        )
+        x = jnp.asarray(g.node_features)
+        model = BandedNodeSAGE(in_channels=5, hidden_dim=32, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        want, _ = model.apply(params, state, a, x, train=False)
+        adj_q, w_sum = model.prepare_quantized(a)
+        got, _ = model.apply_quantized(
+            params, state, adj_q, w_sum, x, interpret=True
+        )
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 5e-2, rel
+        agree = float(
+            jnp.mean(jnp.argmax(got, 1) == jnp.argmax(want, 1))
+        )
+        assert agree > 0.99, agree
+
     def test_xla_oracle_close(self, cpu_devices):
         a, x = _banded()
         q = quantize_band(a)
