@@ -228,6 +228,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--mode", choices=["dp", "banded", "hybrid"], default="dp")
+    parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -248,6 +249,21 @@ def main() -> None:
     bench = {"dp": bench_dp, "banded": bench_banded, "hybrid": bench_hybrid}
     results = bench[args.mode](devices)
     metric = "graphs_per_s" if args.mode == "dp" else "edges_per_s"
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "mode": args.mode,
+            "platform": devices[0].platform,
+            "num_devices": len(devices),
+            "caveat": (
+                "virtual CPU devices share physical cores: rows validate the "
+                "sharded program; 'efficiency' reflects core contention, not "
+                "interconnect scaling"
+            ) if devices[0].platform == "cpu" else None,
+            "rows": {str(d): r for d, r in results.items()},
+        }, indent=2))
+        return
     print(f"{'devices':>8} {metric:>16} {'per-device':>14} {'efficiency':>11}")
     for d, r in results.items():
         print(
