@@ -64,19 +64,29 @@ def _local_shard(stacked: ConnectomeBatch) -> ConnectomeBatch:
     return jax.tree_util.tree_map(lambda x: x[0], stacked)
 
 
-def make_dp_train_step(model, optimizer, mesh: Mesh, axis_name: str = "data"):
+def make_dp_train_step(
+    model, optimizer, mesh: Mesh, axis_name: str = "data",
+    guard: bool = False,
+):
     """Build a jitted data-parallel train step.
 
     Signature: ``(params, state, opt_state, step_key, stacked_batch) ->
     (params, state, opt_state, loss, n_real)`` with params/state/opt_state
     replicated and the batch sharded over ``axis_name``.
+
+    With ``guard=True`` the step additionally detects non-finite loss or
+    gradients and becomes a no-op for that batch (old params/state/opt
+    kept, loss/n reported as 0) — the signature gains a trailing ``ok``
+    float (1.0 = applied, 0.0 = rejected).  The gradients are already
+    global (psummed by shard_map's autodiff), so the verdict is identical
+    on every device and replicas stay bit-identical.
     """
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis_name)),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()) + ((P(),) if guard else ()),
     )
     def _sharded_step(params, state, opt_state, step_key, stacked):
         batch = _local_shard(stacked)
@@ -101,7 +111,22 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, axis_name: str = "data"):
             optimizer, axis_name, params, opt_state, local_sum, local_n, grads
         )
         # BN state was psummed inside apply → already replicated.
-        return new_params, new_state, new_opt_state, loss, n
+        if not guard:
+            return new_params, new_state, new_opt_state, loss, n
+
+        from connectome_gnn_tpu.train import fault
+
+        # grads/loss are global (autodiff psums replicated-input
+        # cotangents), and new_state is psummed sync-BN state — every
+        # device computes the same ok, keeping replicas identical.
+        ok = fault.all_finite(loss, grads, new_state)
+        trees, loss, n, ok_f = fault.guard_step_outputs(
+            ok,
+            (new_params, new_state, new_opt_state),
+            (params, state, opt_state),
+            loss, n,
+        )
+        return (*trees, loss, n, ok_f)
 
     return jax.jit(_sharded_step)
 

@@ -30,6 +30,7 @@ import optax
 
 from connectome_gnn_tpu.data.batch import ConnectomeBatch
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
+from connectome_gnn_tpu.train import fault
 
 
 def reference_adam(
@@ -66,6 +67,14 @@ class Trainer:
         stacked batches (``ConnectomeDataLoader(..., num_shards=D)`` with
         ``D == mesh.shape[axis_name]``).  Numerics are exact vs
         single-device training (sync-BN, globally masked loss).
+    skip_nonfinite
+        In-run fault detection (on by default): a step whose loss,
+        gradients, or BatchNorm update contain non-finite values is
+        rejected inside the jitted step — parameters/state/optimizer keep
+        their old values and the step counts toward
+        ``last_skipped_steps`` (surfaced per-epoch in ``fit``'s history
+        as ``skipped_steps``).  When every value is finite the guard is
+        the identity, bitwise.  See ``train/fault.py``.
     """
 
     def __init__(
@@ -77,11 +86,14 @@ class Trainer:
         state: Optional[dict] = None,
         mesh=None,
         axis_name: str = "data",
+        skip_nonfinite: bool = True,
     ):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else reference_adam()
         self.mesh = mesh
         self.axis_name = axis_name
+        self.skip_nonfinite = skip_nonfinite
+        self.last_skipped_steps = 0
 
         key = jax.random.PRNGKey(seed)
         init_key, self._rng = jax.random.split(key)
@@ -103,7 +115,8 @@ class Trainer:
             )
 
             self._dp_train_step = make_dp_train_step(
-                model, self.optimizer, mesh, axis_name
+                model, self.optimizer, mesh, axis_name,
+                guard=self.skip_nonfinite,
             )
             self._dp_eval_step = make_dp_eval_step(model, mesh, axis_name)
 
@@ -113,6 +126,7 @@ class Trainer:
 
     def _build_train_step(self):
         model, optimizer = self.model, self.optimizer
+        guard = self.skip_nonfinite
 
         @jax.jit
         def train_step(params, state, opt_state, rng, batch: ConnectomeBatch):
@@ -135,7 +149,16 @@ class Trainer:
             )(params)
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return new_params, new_state, new_opt_state, rng, loss, n
+            if not guard:
+                return new_params, new_state, new_opt_state, rng, loss, n, 1.0
+            ok = fault.all_finite(loss, grads, new_state)
+            trees, loss, n, ok_f = fault.guard_step_outputs(
+                ok,
+                (new_params, new_state, new_opt_state),
+                (params, state, opt_state),
+                loss, n,
+            )
+            return (*trees, rng, loss, n, ok_f)
 
         return train_step
 
@@ -179,7 +202,8 @@ class Trainer:
         and serialize dispatch, which dominates wall time on remote
         runtimes (the steps themselves are ~1 ms).  One sync per epoch.
         """
-        losses, counts = [], []
+        losses, counts, oks = [], [], []
+        num_steps = 0
         for batch in loader:
             batch = self._maybe_global(batch)
             if self.mesh is None:
@@ -190,24 +214,34 @@ class Trainer:
                     self._rng,
                     loss,
                     n,
+                    ok,
                 ) = self._train_step(
                     self.params, self.state, self.opt_state, self._rng, batch
                 )
             else:
                 self._rng, step_key = jax.random.split(self._rng)
-                (
-                    self.params,
-                    self.state,
-                    self.opt_state,
-                    loss,
-                    n,
-                ) = self._dp_train_step(
+                out = self._dp_train_step(
                     self.params, self.state, self.opt_state, step_key, batch
                 )
+                if self.skip_nonfinite:
+                    (
+                        self.params,
+                        self.state,
+                        self.opt_state,
+                        loss,
+                        n,
+                        ok,
+                    ) = out
+                else:
+                    self.params, self.state, self.opt_state, loss, n = out
+                    ok = 1.0
             losses.append(loss)
             counts.append(n)
+            oks.append(ok)
+            num_steps += 1
         total = float(sum(l * c for l, c in zip(losses, counts)))
         graphs = float(sum(counts))
+        self.last_skipped_steps = num_steps - int(round(float(sum(oks))))
         return total / max(graphs, 1.0)
 
     def evaluate(self, loader: ConnectomeDataLoader) -> dict:
@@ -365,7 +399,10 @@ class Trainer:
         shuffle is pinned per epoch (``set_epoch``), a resumed run replays
         the exact batch order of an uninterrupted one.
         """
-        history: dict = {"train_loss": [], "val_loss": [], "val_acc": []}
+        history: dict = {
+            "train_loss": [], "val_loss": [], "val_acc": [],
+            "skipped_steps": [],
+        }
         best_val_loss = float("inf")
         best_epoch = 0
         best_snapshot = None
@@ -395,44 +432,66 @@ class Trainer:
                         f"{meta['epoch']} (best={best_epoch})"
                     )
 
-        for epoch in range(start_epoch, num_epochs + 1):
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch - 1)
-            train_loss = self.train_epoch(train_loader)
-            val_metrics = self.evaluate(val_loader)
+        from connectome_gnn_tpu.train.fault import PreemptionGuard
 
-            history["train_loss"].append(train_loss)
-            history["val_loss"].append(val_metrics["loss"])
-            history["val_acc"].append(val_metrics["accuracy"])
+        with PreemptionGuard() as preemption:
+            for epoch in range(start_epoch, num_epochs + 1):
+                if hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch - 1)
+                train_loss = self.train_epoch(train_loader)
+                val_metrics = self.evaluate(val_loader)
 
-            if verbose:
-                print(
-                    f"Epoch {epoch:3d} | "
-                    f"train_loss={train_loss:.4f} | "
-                    f"val_loss={val_metrics['loss']:.4f} | "
-                    f"val_acc={val_metrics['accuracy']:.3f}"
+                history["train_loss"].append(train_loss)
+                history["val_loss"].append(val_metrics["loss"])
+                history["val_acc"].append(val_metrics["accuracy"])
+                history.setdefault("skipped_steps", []).append(
+                    self.last_skipped_steps
                 )
 
-            if val_metrics["loss"] < best_val_loss:
-                best_val_loss = val_metrics["loss"]
-                best_epoch = epoch
-                # jax arrays are immutable — holding the references IS the
-                # snapshot (the reference needs per-tensor .clone(),
-                # train.py:116).
-                best_snapshot = (self.params, self.state)
-
-            stop = epoch - best_epoch >= patience
-            if checkpoint_dir and (
-                stop or epoch == num_epochs or epoch % checkpoint_every == 0
-            ):
-                self._save_fit_checkpoint(
-                    checkpoint_dir, epoch, best_epoch, best_val_loss,
-                    best_snapshot, history, stop,
-                )
-            if stop:
                 if verbose:
-                    print(f"Early stop at epoch {epoch} (best={best_epoch})")
-                break
+                    skipped = self.last_skipped_steps
+                    print(
+                        f"Epoch {epoch:3d} | "
+                        f"train_loss={train_loss:.4f} | "
+                        f"val_loss={val_metrics['loss']:.4f} | "
+                        f"val_acc={val_metrics['accuracy']:.3f}"
+                        + (f" | skipped={skipped}" if skipped else "")
+                    )
+
+                if val_metrics["loss"] < best_val_loss:
+                    best_val_loss = val_metrics["loss"]
+                    best_epoch = epoch
+                    # jax arrays are immutable — holding the references IS
+                    # the snapshot (the reference needs per-tensor .clone(),
+                    # train.py:116).
+                    best_snapshot = (self.params, self.state)
+
+                stop = epoch - best_epoch >= patience
+                preempted = preemption.triggered
+                if checkpoint_dir and (
+                    stop or preempted or epoch == num_epochs
+                    or epoch % checkpoint_every == 0
+                ):
+                    self._save_fit_checkpoint(
+                        checkpoint_dir, epoch, best_epoch, best_val_loss,
+                        best_snapshot, history, stop,
+                    )
+                if stop:
+                    if verbose:
+                        print(
+                            f"Early stop at epoch {epoch} (best={best_epoch})"
+                        )
+                    break
+                if preempted:
+                    # SIGTERM/SIGINT arrived mid-epoch: state is saved
+                    # (if checkpointing), exit cleanly; resume=True
+                    # continues from here.
+                    if verbose:
+                        print(
+                            f"Preempted at epoch {epoch} — checkpoint "
+                            + ("written" if checkpoint_dir else "NOT enabled")
+                        )
+                    break
 
         if best_snapshot is not None:
             self.params, self.state = best_snapshot

@@ -35,10 +35,13 @@ class TestTrainer:
         history = trainer.fit(
             train_loader, val_loader, num_epochs=3, patience=10, verbose=False
         )
-        assert set(history) == {"train_loss", "val_loss", "val_acc"}
+        assert set(history) == {
+            "train_loss", "val_loss", "val_acc", "skipped_steps",
+        }
         assert len(history["train_loss"]) == 3
         assert len(history["val_loss"]) == 3
         assert len(history["val_acc"]) == 3
+        assert history["skipped_steps"] == [0, 0, 0]
 
     def test_loss_decreases(self, small_loaders):
         train_loader, val_loader = small_loaders
