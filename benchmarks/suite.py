@@ -381,6 +381,62 @@ def bench_spmm_banded_giant_quant(num_nodes=1 << 20, degree=38,
     }
 
 
+def bench_spmm_banded_giant_quant_fm(num_nodes=1 << 20, degree=38,
+                                     band_nodes=512, feat=64, block=256,
+                                     rows_per_step=16, iters=10):
+    """5q through the FEATURE-MAJOR manual-DMA kernel
+    (ops/banded_quant.py banded_spmm_quant_fm): activations live as
+    [F, N] — the layout a persistent serving stack keeps — and the
+    kernel drives its own double-buffered HBM→VMEM pipeline, sidestepping
+    Mosaic's per-grid-step overhead (QUANT_r02.json).  Timed on the
+    feature-major loop state; the one-time tile transpose happens at
+    prepare time, outside the loop.
+    """
+    import importlib
+
+    quant_exp = importlib.import_module("benchmarks.quant_experiments")
+    from connectome_gnn_tpu.ops.banded import banded_spmm
+    from connectome_gnn_tpu.ops.banded_quant import (
+        QuantizedBandedMatrixFM,
+        banded_spmm_quant_fm,
+        quantize_band,
+        to_feature_major,
+    )
+
+    a, E = quant_exp.build_band(num_nodes, degree, band_nodes, block)
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(1), (num_nodes, feat), jnp.float32
+    )
+    q_fm = to_feature_major(quantize_band(a))
+    x0T = jnp.asarray(x0.T)
+    ref = banded_spmm(a, x0)
+    rel = float(
+        jnp.linalg.norm(
+            banded_spmm_quant_fm(q_fm, x0T, rows_per_step=rows_per_step).T
+            - ref
+        )
+        / jnp.linalg.norm(ref)
+    )
+    assert rel < 2e-2, f"fm quant kernel error {rel} out of bound"
+    del ref, x0
+    a.band.delete()
+
+    dt = chained_loop_time(
+        lambda vT, bqT, s: banded_spmm_quant_fm(
+            QuantizedBandedMatrixFM(bqT, s, q_fm.num_nodes, q_fm.bandwidth),
+            vT, rows_per_step=rows_per_step,
+        ),
+        x0T, iters, q_fm.band_qT, q_fm.scales,
+    )
+    return {
+        "ms_per_spmm": dt * 1e3,
+        "edges_per_s": E / dt,
+        "rel_err_vs_f32": rel,
+        "num_nodes": num_nodes,
+        "num_edges": E,
+    }
+
+
 def bench_spmm_hybrid(num_nodes=65_536, avg_degree=16, band_nodes=512,
                       shortcut_frac=0.1, feat=64, block=128, iters=20):
     """Config 5 (realistic locality): hybrid band+remainder SpMM edges/s.
@@ -568,6 +624,9 @@ BENCHES = {
            bench_spmm_banded_giant),
     "5q": ("int8-quantized banded SpMM at FULL config-5 scale (Pallas panels)",
            bench_spmm_banded_giant_quant),
+    "5qm": ("int8 banded SpMM, FEATURE-MAJOR manual-DMA kernel, config-5 "
+            "scale",
+            bench_spmm_banded_giant_quant_fm),
     "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
           bench_train_step),
     "S": ("sampled-minibatch node-GCN training end-to-end, 262k-node graph, "
@@ -584,7 +643,7 @@ def _sage():
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,5d,5q,T,S")
+    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,5d,5q,5qm,T,S")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 

@@ -116,7 +116,7 @@ class BandedNodeGCN:
             node_mask=node_mask, train=train, rng=rng,
         )
 
-    def prepare_quantized(self, adjacency):
+    def prepare_quantized(self, adjacency, feature_major: bool = True):
         """One-time serving setup: GCN-normalize, then int8-quantize.
 
         Returns ``(adj_q, dinv)`` for :meth:`apply_quantized` — the band
@@ -125,17 +125,26 @@ class BandedNodeGCN:
         error, see :mod:`connectome_gnn_tpu.ops.banded_quant`).
         Quantizing after normalization matters: the sym-norm rescale is
         exact, only the final SpMM operand is rounded.
+
+        ``feature_major`` (pure-band adjacency only) returns the
+        transposed-tile form consumed by the manual-DMA kernel
+        (:func:`~connectome_gnn_tpu.ops.banded_quant.banded_spmm_quant_fm`,
+        1.7× faster at 1M nodes); :meth:`apply_quantized` then keeps
+        activations ``[F, N]`` across layers.  Hybrid adjacencies stay
+        row-major (the scatter remainder wants node-major rows).
         """
         from connectome_gnn_tpu.ops.banded_quant import (
             quantize_band,
             quantize_hybrid,
+            to_feature_major,
         )
 
         if isinstance(adjacency, HybridMatrix):
             adj_norm, dinv = gcn_normalize_hybrid(adjacency)
             return quantize_hybrid(adj_norm), dinv
         adj_norm, dinv = gcn_normalize_banded(adjacency)
-        return quantize_band(adj_norm), dinv
+        q = quantize_band(adj_norm)
+        return (to_feature_major(q) if feature_major else q), dinv
 
     def apply_quantized(
         self,
@@ -157,11 +166,16 @@ class BandedNodeGCN:
         from functools import partial
 
         from connectome_gnn_tpu.ops.banded_quant import (
+            QuantizedBandedMatrixFM,
             QuantizedHybridMatrix,
             banded_spmm_quant,
             hybrid_spmm_quant,
         )
 
+        if isinstance(adj_q, QuantizedBandedMatrixFM):
+            return self._forward_quant_fm(
+                params, state, adj_q, dinv, x, interpret=interpret
+            )
         spmm = partial(
             hybrid_spmm_quant
             if isinstance(adj_q, QuantizedHybridMatrix)
@@ -173,6 +187,42 @@ class BandedNodeGCN:
             params, state, spmm, adj_q, dinv, x,
             node_mask=node_mask, train=False, rng=None,
         )
+
+    def _forward_quant_fm(
+        self, params, state, adj_q, dinv, x, *, interpret=False
+    ) -> tuple[jnp.ndarray, dict]:
+        """Layout-persistent quantized serving: activations stay
+        feature-major (``[F, N]``) across every layer — the manual-DMA
+        band kernel's native layout — and only the tiny input
+        (``[N, in_channels]``) and logits (``[N, classes]``) transpose at
+        the model boundary.  Eval-mode semantics identical to
+        :meth:`_forward` (running-stat BN, no dropout)."""
+        from connectome_gnn_tpu.nn.layers import batch_norm_eval_fm
+        from connectome_gnn_tpu.ops.banded_quant import banded_spmm_quant_fm
+
+        n = adj_q.num_nodes
+        self_normT = (dinv * dinv)[None, :n]
+
+        hT = x[:n].T
+        for i in range(self.num_layers):
+            hwT = jnp.dot(
+                params["convs"][i]["kernel"].T, hT,
+                preferred_element_type=jnp.float32,
+            )
+            hT = (
+                banded_spmm_quant_fm(adj_q, hwT, interpret=interpret)
+                + self_normT * hwT
+                + params["convs"][i]["bias"][:, None]
+            )
+            hT = batch_norm_eval_fm(params["norms"][i], state["norms"][i], hT)
+            hT = jax.nn.relu(hT)
+        logits_T = jnp.dot(
+            params["head"]["kernel"].T, hT,
+            preferred_element_type=jnp.float32,
+        )
+        if "bias" in params["head"]:
+            logits_T = logits_T + params["head"]["bias"][:, None]
+        return logits_T.T, {"norms": state["norms"]}
 
     def _forward(
         self, params, state, spmm, adj_norm, dinv, x,

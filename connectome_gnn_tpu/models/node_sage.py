@@ -105,7 +105,7 @@ class BandedNodeSAGE:
             node_mask=node_mask, train=train, rng=rng,
         )
 
-    def prepare_quantized(self, adjacency):
+    def prepare_quantized(self, adjacency, feature_major: bool = True):
         """One-time serving setup: int8-quantize the (raw-weight) band and
         precompute the exact f32 mean normalizer.
 
@@ -113,15 +113,24 @@ class BandedNodeSAGE:
         normalizer is the receiver-side weight sum — computing it from
         the f32 band BEFORE quantization keeps the mean denominator
         exact; only the message numerator is rounded.
+
+        ``feature_major`` (pure-band adjacency only): transposed-tile
+        form for the manual-DMA kernel; activations then stay ``[F, N]``
+        across layers in :meth:`apply_quantized`.  Hybrid adjacencies
+        stay row-major.
         """
         from connectome_gnn_tpu.ops.banded_quant import (
             quantize_band,
             quantize_hybrid,
+            to_feature_major,
         )
 
         if isinstance(adjacency, HybridMatrix):
             return quantize_hybrid(adjacency), hybrid_row_sum(adjacency)
-        return quantize_band(adjacency), banded_row_sum(adjacency)
+        q = quantize_band(adjacency)
+        return (to_feature_major(q) if feature_major else q), banded_row_sum(
+            adjacency
+        )
 
     def apply_quantized(
         self,
@@ -140,11 +149,16 @@ class BandedNodeSAGE:
         from functools import partial
 
         from connectome_gnn_tpu.ops.banded_quant import (
+            QuantizedBandedMatrixFM,
             QuantizedHybridMatrix,
             banded_spmm_quant,
             hybrid_spmm_quant,
         )
 
+        if isinstance(adj_q, QuantizedBandedMatrixFM):
+            return self._forward_quant_fm(
+                params, state, adj_q, w_sum, x, interpret=interpret
+            )
         spmm = partial(
             hybrid_spmm_quant
             if isinstance(adj_q, QuantizedHybridMatrix)
@@ -156,6 +170,42 @@ class BandedNodeSAGE:
             params, state, spmm, adj_q, w_sum, x,
             node_mask=node_mask, train=False, rng=None,
         )
+
+    def _forward_quant_fm(
+        self, params, state, adj_q, w_sum, x, *, interpret=False
+    ) -> tuple[jnp.ndarray, dict]:
+        """Layout-persistent quantized serving (feature-major activations;
+        see ``BandedNodeGCN._forward_quant_fm``).  The concat-aggregate
+        becomes an axis-0 concatenation in ``[F, N]`` layout; eval-mode
+        semantics identical to :meth:`_forward`."""
+        from connectome_gnn_tpu.nn.layers import batch_norm_eval_fm
+        from connectome_gnn_tpu.ops.banded_quant import banded_spmm_quant_fm
+
+        n = adj_q.num_nodes
+        w_sumT = w_sum[None, :n]
+
+        hT = x[:n].T
+        for i in range(self.num_layers):
+            aggT = banded_spmm_quant_fm(adj_q, hT, interpret=interpret) / (
+                w_sumT + EPS
+            )
+            catT = jnp.concatenate([hT, aggT], axis=0)
+            hT = jnp.dot(
+                params["convs"][i]["kernel"].T, catT,
+                preferred_element_type=jnp.float32,
+            )
+            if "bias" in params["convs"][i]:
+                hT = hT + params["convs"][i]["bias"][:, None]
+            hT = jax.nn.relu(hT)
+            hT = batch_norm_eval_fm(params["norms"][i], state["norms"][i], hT)
+            # reference SAGE asymmetry: no post-BN ReLU (models.py:256-262)
+        logits_T = jnp.dot(
+            params["head"]["kernel"].T, hT,
+            preferred_element_type=jnp.float32,
+        )
+        if "bias" in params["head"]:
+            logits_T = logits_T + params["head"]["bias"][:, None]
+        return logits_T.T, {"norms": state["norms"]}
 
     def _forward(
         self, params, state, spmm, adjacency, w_sum, x,

@@ -142,6 +142,18 @@ def batch_norm_apply(
     return y, new_state
 
 
+def batch_norm_eval_fm(
+    params: dict, state: dict, xT: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Eval-mode batch norm for FEATURE-MAJOR activations ``xT [F, N]``
+    (the quantized-band serving layout) — running stats broadcast along
+    the node axis; same arithmetic as :func:`batch_norm_apply` eval."""
+    y = (xT - state["mean"][:, None]) * jax.lax.rsqrt(
+        state["var"] + eps
+    )[:, None]
+    return y * params["scale"][:, None] + params["bias"][:, None]
+
+
 # ---------------------------------------------------------------------------
 # Dropout
 # ---------------------------------------------------------------------------

@@ -26,10 +26,16 @@ from connectome_gnn_tpu.ops.banded import (
 )
 from connectome_gnn_tpu.ops.banded_quant import (
     QuantizedBandedMatrix,
+    QuantizedBandedMatrixFM,
+    QuantizedHybridMatrix,
     banded_spmm_quant,
+    banded_spmm_quant_fm,
     banded_spmm_quant_xla,
     dequantize_band,
+    hybrid_spmm_quant,
     quantize_band,
+    quantize_hybrid,
+    to_feature_major,
 )
 from connectome_gnn_tpu.ops.fused_pallas import (
     forward_auto,
@@ -51,13 +57,18 @@ __all__ = [
     "HybridMatrix",
     "GCNNorm",
     "QuantizedBandedMatrix",
+    "QuantizedBandedMatrixFM",
+    "QuantizedHybridMatrix",
     "banded_block_diag",
     "banded_row_sum",
     "banded_spmm",
     "banded_spmm_quant",
+    "banded_spmm_quant_fm",
     "banded_spmm_quant_xla",
     "dequantize_band",
+    "hybrid_spmm_quant",
     "quantize_band",
+    "quantize_hybrid",
     "coo_spmm",
     "forward_auto",
     "fused_gcn_forward",
@@ -74,5 +85,6 @@ __all__ = [
     "segment_mean",
     "segment_sum",
     "to_banded",
+    "to_feature_major",
     "to_hybrid",
 ]

@@ -166,6 +166,41 @@ class TestQuantKernel:
         assert rel < 1e-2, rel
 
 
+class TestFeatureMajorKernel:
+    """Manual-DMA feature-major kernel (banded_spmm_quant_fm): identical
+    arithmetic to the row-major kernel, activations as [F, N]."""
+
+    @pytest.mark.parametrize("rows_per_step", [2, 8, 16])
+    def test_matches_rowmajor(self, cpu_devices, rows_per_step):
+        from connectome_gnn_tpu.ops import banded_spmm_quant_fm, to_feature_major
+
+        a, x = _banded()
+        q = quantize_band(a)
+        want = np.asarray(banded_spmm_quant(q, x, interpret=True))
+        got = np.asarray(
+            banded_spmm_quant_fm(
+                to_feature_major(q), x.T,
+                rows_per_step=rows_per_step, interpret=True,
+            ).T
+        )
+        # same quantized arithmetic; only f32 accumulation order differs
+        # between the transposed and row-major contractions
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_ragged_tail(self, cpu_devices):
+        from connectome_gnn_tpu.ops import banded_spmm_quant_fm, to_feature_major
+
+        a, x = _banded(n=600, block=64)
+        q = quantize_band(a)
+        got = np.asarray(
+            banded_spmm_quant_fm(to_feature_major(q), x.T, interpret=True)
+        )
+        assert got.shape == (x.shape[1], 600)
+        np.testing.assert_allclose(
+            got.T, np.asarray(_emulate(q, x)), rtol=1e-5, atol=1e-5
+        )
+
+
 class TestQuantizedServing:
     """Model-level int8 serving: prepare_quantized + apply_quantized."""
 
@@ -226,6 +261,32 @@ class TestQuantizedServing:
             jnp.mean(jnp.argmax(got, 1) == jnp.argmax(want, 1))
         )
         assert agree > 0.99, agree
+
+    def test_fm_and_rowmajor_serving_agree(self, cpu_devices):
+        """feature_major=True (layout-persistent forward) vs the row-major
+        serving path: same quantized operator, near-identical logits
+        (contraction order differs through the transposed matmuls)."""
+        from connectome_gnn_tpu.models import BandedNodeGCN
+
+        g = generate_spatial_graph(640, degree=6, band=40, seed=13)
+        a = to_banded(
+            g.edge_index[0], g.edge_index[1], g.edge_weight, 640, block=64
+        )
+        x = jnp.asarray(g.node_features)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=32, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        q_fm, dinv = model.prepare_quantized(a)
+        q_rm, _ = model.prepare_quantized(a, feature_major=False)
+        got_fm, _ = model.apply_quantized(
+            params, state, q_fm, dinv, x, interpret=True
+        )
+        got_rm, _ = model.apply_quantized(
+            params, state, q_rm, dinv, x, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_fm), np.asarray(got_rm), rtol=1e-4, atol=1e-4
+        )
 
     def test_xla_oracle_close(self, cpu_devices):
         a, x = _banded()
