@@ -276,128 +276,18 @@ def banded_spmm_quant_fused_dot(
 def banded_spmm_quant_manual(
     q: QuantizedBandedMatrix, x: jnp.ndarray, rows_per_step: int = 8
 ) -> jnp.ndarray:
-    """Manually double-buffered int8-band SpMM in FEATURE-MAJOR layout:
-    one grid step, explicit async HBM→VMEM DMA for band panels and x
-    windows, compute overlapped with the next panel's copies, out panels
-    DMA'd back while the next panel computes.  Tests whether Mosaic's
-    automatic per-step pipeline (the ~8 µs/step fixed cost the
-    diagnostics exposed) can be beaten.
-
-    Layout: manual DMA slices must be 128-lane aligned, which F=64
-    row-major buffers are not — so activations travel as ``[F, N]``
-    (feature-major, last dim = node blocks of 256) and band tiles are
-    pre-transposed (``accT = xT_window @ tileT``).  A layout-persistent
-    serving stack would keep activations feature-major across layers and
-    never pay a transpose; this wrapper transposes at the boundary for
-    the equivalence check.
-    """
-    block, nb, W = q.block, q.num_blocks, q.bandwidth
-    R = max(1, min(int(rows_per_step), nb))
-    while nb % R:
-        R -= 1
-
-    band_qT = jnp.swapaxes(q.band_q, 2, 3)  # one-time prep, outside serving
-    outT = _manual_fm_core(
-        band_qT, q.scales, x[: q.num_nodes].T, nb, W, block, R
-    )
-    return outT[:, : q.num_nodes].T
-
-
-def _manual_fm_core(band_qT, scales, xT, nb, W, block, R):
-    """Feature-major core: ``xT`` is ``[F, num_nodes]``; returns
-    ``[F, nb·block]`` — the shape a layout-persistent stack chains."""
-    D = 2 * W + 1
-    padded = nb * block
-    F = xT.shape[0]
-    num_chunks = nb // R
-    win = R + 2 * W
-
-    xT_pad = jnp.zeros((F, (nb + 2 * W) * block), jnp.bfloat16)
-    xT_pad = jax.lax.dynamic_update_slice(
-        xT_pad, xT.astype(jnp.bfloat16), (0, W * block)
+    """Row-major wrapper over the production feature-major manual-DMA
+    kernel (promoted to ``ops/banded_quant.py banded_spmm_quant_fm``
+    after this diagnostic proved it out) — kept for the checks phase."""
+    from connectome_gnn_tpu.ops.banded_quant import (
+        banded_spmm_quant_fm,
+        to_feature_major,
     )
 
-    def kernel(scales_ref, band_hbm, x_hbm, out_hbm,
-               band_buf, x_buf, out_buf, band_sem, x_sem, out_sem):
-        def band_dma(slot, i):
-            return pltpu.make_async_copy(
-                band_hbm.at[pl.ds(i * R, R)], band_buf.at[slot],
-                band_sem.at[slot],
-            )
-
-        def x_dma(slot, i):
-            return pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(i * R * block, win * block)],
-                x_buf.at[slot], x_sem.at[slot],
-            )
-
-        def out_dma(slot, i):
-            return pltpu.make_async_copy(
-                out_buf.at[slot],
-                out_hbm.at[:, pl.ds(i * R * block, R * block)],
-                out_sem.at[slot],
-            )
-
-        band_dma(0, 0).start()
-        x_dma(0, 0).start()
-
-        def body(i, _):
-            slot = jax.lax.rem(i, 2)
-
-            @pl.when(i + 1 < num_chunks)
-            def _():
-                band_dma(1 - slot, i + 1).start()
-                x_dma(1 - slot, i + 1).start()
-
-            band_dma(slot, i).wait()
-            x_dma(slot, i).wait()
-
-            # out_buf[slot] still drains chunk i-2's store
-            @pl.when(i >= 2)
-            def _():
-                out_dma(slot, i - 2).wait()
-
-            for r in range(R):
-                acc = jnp.zeros((F, block), jnp.float32)
-                for d in range(D):
-                    tileT = band_buf[slot, r, d].astype(jnp.bfloat16)
-                    xw = x_buf[slot, :, (r + d) * block:(r + d + 1) * block]
-                    acc += scales_ref[(i * R + r) * D + d] * jnp.dot(
-                        xw, tileT, preferred_element_type=jnp.float32,
-                    )
-                out_buf[slot, :, r * block:(r + 1) * block] = acc
-            out_dma(slot, i).start()
-
-        jax.lax.fori_loop(0, num_chunks, body, None)
-        if num_chunks >= 2:
-            out_dma((num_chunks - 2) % 2, num_chunks - 2).wait()
-        out_dma((num_chunks - 1) % 2, num_chunks - 1).wait()
-
-    outT = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((2, R, D, block, block), jnp.int8),
-                pltpu.VMEM((2, F, win * block), jnp.bfloat16),
-                pltpu.VMEM((2, F, R * block), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((F, padded), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(scales.reshape(-1), band_qT, xT_pad)
-    return outT
+    q_fm = to_feature_major(q)
+    return banded_spmm_quant_fm(
+        q_fm, x[: q.num_nodes].T, rows_per_step=rows_per_step
+    ).T
 
 
 def main() -> None:
@@ -491,17 +381,25 @@ def main() -> None:
             ))
 
     if "manual" in phases:
-        # feature-major core timed in its persistent layout: xT loop
-        # state, band pre-transposed once outside the loop
-        band_qT = jnp.swapaxes(q.band_q, 2, 3)
-        nb, W, block = q.num_blocks, q.bandwidth, q.block
+        # production feature-major kernel timed in its persistent layout:
+        # xT loop state, band pre-transposed once outside the loop
+        from connectome_gnn_tpu.ops.banded_quant import (
+            QuantizedBandedMatrixFM,
+            banded_spmm_quant_fm,
+            to_feature_major,
+        )
+
+        q_fm = to_feature_major(q)
         x0T = jnp.asarray(x0.T)
         for r in args.rows:
             record(f"manual_fm_r{r}", chained_loop_time(
-                lambda vT, bqT, s, r=r: _manual_fm_core(
-                    bqT, s, vT, nb, W, block, r
+                lambda vT, bqT, s, r=r: banded_spmm_quant_fm(
+                    QuantizedBandedMatrixFM(
+                        bqT, s, q.num_nodes, q.bandwidth
+                    ),
+                    vT, rows_per_step=r,
                 ),
-                x0T, args.iters, band_qT, q.scales,
+                x0T, args.iters, q_fm.band_qT, q.scales,
             ))
 
     if "fused_dot_bf16" in phases:

@@ -437,6 +437,56 @@ def bench_spmm_banded_giant_quant_fm(num_nodes=1 << 20, degree=38,
     }
 
 
+def bench_giant_model_serving(num_nodes=1 << 20, degree=38, band_nodes=512,
+                              feat=64, hidden=64, num_layers=2, block=256,
+                              iters=10):
+    """Whole-model int8 serving at the 1M-node config: BandedNodeGCN
+    ``prepare_quantized`` (feature-major) + jitted ``apply_quantized`` —
+    the product-level number behind the 5qm kernel row (per step:
+    ``num_layers`` fm SpMMs + weight matmuls + eval-BN + head, activations
+    kept [F, N] throughout)."""
+    import importlib
+
+    quant_exp = importlib.import_module("benchmarks.quant_experiments")
+    from connectome_gnn_tpu.models import BandedNodeGCN
+
+    a, E = quant_exp.build_band(num_nodes, degree, band_nodes, block)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (num_nodes, feat), jnp.float32
+    )
+    model = BandedNodeGCN(
+        in_channels=feat, hidden_dim=hidden, num_classes=2,
+        num_layers=num_layers,
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    adj_q, dinv = model.prepare_quantized(a)
+    a.band.delete()
+
+    def step(params, state, adj_band, scales, dinv, x, eps, i):
+        from connectome_gnn_tpu.ops.banded_quant import (
+            QuantizedBandedMatrixFM,
+        )
+
+        q = QuantizedBandedMatrixFM(
+            adj_band, scales, adj_q.num_nodes, adj_q.bandwidth
+        )
+        logits, _ = model.apply_quantized(
+            params, state, q, dinv, x + eps
+        )
+        return jnp.sum(logits)
+
+    dt = device_loop_time(
+        step, (params, state, adj_q.band_qT, adj_q.scales, dinv, x), iters
+    )
+    return {
+        "ms_per_forward": dt * 1e3,
+        "edge_msgs_per_s": num_layers * E / dt,
+        "num_nodes": num_nodes,
+        "num_edges": E,
+        "num_layers": num_layers,
+    }
+
+
 def bench_spmm_hybrid(num_nodes=65_536, avg_degree=16, band_nodes=512,
                       shortcut_frac=0.1, feat=64, block=128, iters=20):
     """Config 5 (realistic locality): hybrid band+remainder SpMM edges/s.
@@ -627,6 +677,9 @@ BENCHES = {
     "5qm": ("int8 banded SpMM, FEATURE-MAJOR manual-DMA kernel, config-5 "
             "scale",
             bench_spmm_banded_giant_quant_fm),
+    "5qs": ("whole-model int8 serving (BandedNodeGCN fm), 1M nodes, "
+            "2 layers",
+            bench_giant_model_serving),
     "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
           bench_train_step),
     "S": ("sampled-minibatch node-GCN training end-to-end, 262k-node graph, "
@@ -643,7 +696,9 @@ def _sage():
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5,5b,5c,5d,5q,5qm,T,S")
+    parser.add_argument(
+        "--configs", default="1,2,3,4,5,5b,5c,5d,5q,5qm,5qs,T,S"
+    )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 

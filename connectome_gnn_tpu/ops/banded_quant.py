@@ -190,7 +190,7 @@ def banded_spmm_quant_fm(
     q: QuantizedBandedMatrixFM,
     xT: jnp.ndarray,
     *,
-    rows_per_step: int = 16,
+    rows_per_step: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``(A_q @ x)ᵀ`` with feature-major activations: ``xT`` is
