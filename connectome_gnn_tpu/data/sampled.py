@@ -208,6 +208,19 @@ def fanout_budgets(
     return nodes, edges
 
 
+def _sample_seed(base: int, epoch: int, step: int, shard: int = -1) -> int:
+    """Deterministic, platform-stable per-(epoch, step, shard) sampling
+    seed.  Mixing through ``np.random.SeedSequence`` avoids leaning on
+    CPython's ``hash()`` being stable (it is today, but that's an
+    implementation detail) and decorrelates streams across epochs, steps,
+    and global shard indices — so every process derives the same stream
+    for a given global shard without coordination."""
+    return int(
+        np.random.SeedSequence([base, epoch, step, shard + 1]).generate_state(1)[0]
+        & 0x7FFFFFFF
+    )
+
+
 class SampledNodeLoader:
     """Per-step neighbor-sampled minibatches over ONE giant graph.
 
@@ -235,9 +248,28 @@ class SampledNodeLoader:
     shuffle / seed
         Epoch shuffling of the seed pool, pinned per epoch like
         :class:`~connectome_gnn_tpu.data.loader.ConnectomeDataLoader`
-        (``set_epoch`` replays a resumed run exactly).
+        (``set_epoch`` replays a resumed run exactly).  The per-step
+        *sampling* streams advance with the epoch counter even when
+        ``shuffle=False``, so an eval-with-sampling loop draws fresh
+        subgraphs each pass.
     drop_last
         Drop the final partial seed chunk instead of padding it.
+    num_shards
+        When set, ``batch_size`` is the GLOBAL seed count per step and
+        each yielded batch is a *stacked* pytree with a leading device
+        axis of size ``num_shards`` (per-shard sub-batches of
+        ``batch_size / num_shards`` seeds, each fanout-sampled
+        independently) for ``shard_map`` data parallelism — the
+        distributed half of BASELINE config 5.  Budgets apply per shard.
+    process_index / process_count
+        Multi-process data sharding: with both set, each yielded batch
+        stacks only this process's contiguous
+        ``num_shards / process_count`` shards; seed shuffling and the
+        per-shard sampling streams are functions of the GLOBAL shard
+        index, so all processes agree on the global batch without
+        coordination.  Lift the local stack with
+        :func:`~connectome_gnn_tpu.parallel.distributed.assemble_global`
+        (``Trainer`` does this automatically in mesh mode).
     """
 
     def __init__(
@@ -255,6 +287,9 @@ class SampledNodeLoader:
         drop_last: bool = False,
         node_multiple: int = 8,
         edge_multiple: int = 128,
+        num_shards: Optional[int] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.graph = graph
         self.node_labels = (
@@ -273,7 +308,43 @@ class SampledNodeLoader:
         self._epoch = 0
         self._sampler = NeighborSampler(graph)
 
-        worst_n, worst_e = fanout_budgets(self.batch_size, self.fanout)
+        self.num_shards = int(num_shards) if num_shards is not None else None
+        if self.num_shards is not None and self.batch_size % self.num_shards:
+            raise ValueError(
+                f"batch_size={self.batch_size} not divisible by "
+                f"num_shards={self.num_shards}"
+            )
+        self._shard_size = (
+            self.batch_size // self.num_shards
+            if self.num_shards is not None
+            else self.batch_size
+        )
+        if (process_index is None) != (process_count is None):
+            raise ValueError(
+                "process_index and process_count must be given together"
+            )
+        if process_count is not None:
+            if self.num_shards is None:
+                raise ValueError("process sharding requires num_shards")
+            if self.num_shards % process_count:
+                raise ValueError(
+                    f"num_shards={self.num_shards} not divisible by "
+                    f"process_count={process_count}"
+                )
+            if not 0 <= process_index < process_count:
+                raise ValueError(
+                    f"process_index={process_index} out of range "
+                    f"[0, {process_count})"
+                )
+            per = self.num_shards // process_count
+            self._shard_lo, self._shard_hi = (
+                process_index * per,
+                (process_index + 1) * per,
+            )
+        else:
+            self._shard_lo, self._shard_hi = 0, self.num_shards or 0
+
+        worst_n, worst_e = fanout_budgets(self._shard_size, self.fanout)
         if node_budget is None:
             node_budget = min(worst_n, graph.num_nodes)
         if edge_budget is None:
@@ -292,28 +363,61 @@ class SampledNodeLoader:
         ``epoch`` (see ``ConnectomeDataLoader.set_epoch``)."""
         self._epoch = int(epoch)
 
+    def _sample_and_collate(
+        self, chunk: np.ndarray, sample_seed: int, num_seeds: int
+    ) -> SampledNodeBatch:
+        if len(chunk) == 0:
+            # empty shard slot on a final partial step: all-padding batch
+            sub = ConnectomeGraph(
+                node_features=np.zeros((0, self.graph.num_features), np.float32),
+                edge_index=np.zeros((2, 0), np.int32),
+                edge_weight=np.zeros(0, np.float32),
+            )
+            node_ids = np.zeros(0, np.int64)
+        else:
+            sub, node_ids = self._sampler.sample(
+                chunk, self.fanout, seed=sample_seed
+            )
+        return collate_sampled(
+            sub,
+            node_ids,
+            self.node_labels[chunk] if self.node_labels is not None else None,
+            num_seeds=num_seeds,
+            real_seeds=len(chunk),
+            node_budget=self.node_budget,
+            edge_budget=self.edge_budget,
+        )
+
     def __iter__(self) -> Iterator[SampledNodeBatch]:
         seeds = self.seeds
         epoch = self._epoch
+        # advance regardless of shuffle so repeated passes draw fresh
+        # subgraphs (an eval-with-sampling loop must not resample
+        # bit-identical neighborhoods every epoch)
+        self._epoch += 1
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             seeds = seeds[rng.permutation(len(seeds))]
-            self._epoch += 1
         for b, start in enumerate(range(0, len(seeds), self.batch_size)):
             chunk = seeds[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            # decorrelate sampling across steps and epochs, deterministically
-            sample_seed = hash((self.seed, epoch, b)) & 0x7FFFFFFF
-            sub, node_ids = self._sampler.sample(
-                chunk, self.fanout, seed=sample_seed
-            )
-            yield collate_sampled(
-                sub,
-                node_ids,
-                self.node_labels[chunk] if self.node_labels is not None else None,
-                num_seeds=self.batch_size,
-                real_seeds=len(chunk),
-                node_budget=self.node_budget,
-                edge_budget=self.edge_budget,
-            )
+            if self.num_shards is None:
+                yield self._sample_and_collate(
+                    chunk, _sample_seed(self.seed, epoch, b), self.batch_size
+                )
+            else:
+                ss = self._shard_size
+                shards = [
+                    self._sample_and_collate(
+                        chunk[s * ss : (s + 1) * ss],
+                        _sample_seed(self.seed, epoch, b, s),
+                        ss,
+                    )
+                    for s in range(self._shard_lo, self._shard_hi)
+                ]
+                from connectome_gnn_tpu.parallel.data_parallel import (
+                    stack_batches,
+                )
+
+                yield stack_batches(shards)

@@ -75,6 +75,14 @@ class Trainer:
         ``last_skipped_steps`` (surfaced per-epoch in ``fit``'s history
         as ``skipped_steps``).  When every value is finite the guard is
         the identity, bitwise.  See ``train/fault.py``.
+    prefetch_depth
+        Background-thread batch prefetching (default 2): host-side work
+        per batch — neighbor sampling, collation, padding, host→device
+        transfer — runs ``prefetch_depth`` batches ahead of the device
+        while the previous step executes, instead of serializing with it
+        the way the reference's in-loop collation does (reference
+        ``graph.py:190-197``).  Values are unchanged (prefetching
+        reorders nothing); set 0 to iterate loaders synchronously.
     """
 
     def __init__(
@@ -87,12 +95,14 @@ class Trainer:
         mesh=None,
         axis_name: str = "data",
         skip_nonfinite: bool = True,
+        prefetch_depth: int = 2,
     ):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else reference_adam()
         self.mesh = mesh
         self.axis_name = axis_name
         self.skip_nonfinite = skip_nonfinite
+        self.prefetch_depth = int(prefetch_depth)
         self.last_skipped_steps = 0
 
         key = jax.random.PRNGKey(seed)
@@ -180,6 +190,15 @@ class Trainer:
 
         return eval_step
 
+    def _iterate(self, loader):
+        """Iterate ``loader``, prefetching ``prefetch_depth`` batches in a
+        background thread (sampling/collation overlap device compute)."""
+        if self.prefetch_depth > 0:
+            from connectome_gnn_tpu.data.prefetch import PrefetchIterator
+
+            return PrefetchIterator(loader, depth=self.prefetch_depth)
+        return iter(loader)
+
     def _maybe_global(self, batch):
         """Multi-process mesh mode: lift the loader's process-local shard
         stack into a global sharded array (single-process: pass through —
@@ -204,7 +223,7 @@ class Trainer:
         """
         losses, counts, oks = [], [], []
         num_steps = 0
-        for batch in loader:
+        for batch in self._iterate(loader):
             batch = self._maybe_global(batch)
             if self.mesh is None:
                 (
@@ -251,7 +270,7 @@ class Trainer:
         :meth:`train_epoch`).
         """
         sums = []
-        for batch in loader:
+        for batch in self._iterate(loader):
             batch = self._maybe_global(batch)
             if self.mesh is None:
                 sums.append(self._eval_step(self.params, self.state, batch))
@@ -346,7 +365,7 @@ class Trainer:
             cache[key] = (predict_step, predict_step_stacked)
 
         chunks = []
-        for batch in loader:
+        for batch in self._iterate(loader):
             if prefer_fused and not hasattr(batch, "adj"):
                 if not self.__dict__.get("_warned_unfusable"):
                     import warnings

@@ -160,7 +160,11 @@ class TestCrossProcessDryrun:
         assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
         artifact = json.loads(out.read_text())
         assert artifact["ok"] is True
-        assert artifact["max_rel_err"] <= 1e-4
         assert set(artifact["programs"]) == {
-            "dp", "banded", "hybrid", "trainer_fit"
+            "dp", "banded", "hybrid", "sampled_dp", "trainer_fit"
         }
+        for prog, d in artifact["drift"].items():
+            assert d["max_rel_err"] <= d["bound"], prog
+        for prog, t in artifact["timing"].items():
+            assert t["multi_process_step_s"] > 0
+            assert t["total_comm_bytes"] > 0
