@@ -116,6 +116,132 @@ class BandedNodeGCN:
             node_mask=node_mask, train=train, rng=rng,
         )
 
+    def prepare(self, adjacency):
+        """One-time f32 training setup: GCN-normalize the adjacency.
+
+        Returns ``(adj_norm, dinv)`` for :meth:`apply_normalized`.
+        :meth:`apply` re-normalizes on every call — fine under jit where
+        XLA CSEs it across layers, but a *training step* over a giant
+        band would pay ~3 band-sized HBM passes per step for an operand
+        that never changes.  Hoist it once, then step on the result.
+        """
+        if isinstance(adjacency, HybridMatrix):
+            return gcn_normalize_hybrid(adjacency)
+        return gcn_normalize_banded(adjacency)
+
+    def apply_normalized(
+        self,
+        params: dict,
+        state: dict,
+        adj_norm,
+        dinv: jnp.ndarray,
+        x: jnp.ndarray,
+        *,
+        node_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> tuple[jnp.ndarray, dict]:
+        """:meth:`apply` over a pre-normalized adjacency from
+        :meth:`prepare` — identical numerics, no per-step normalization."""
+        spmm = hybrid_spmm if isinstance(adj_norm, HybridMatrix) else banded_spmm
+        return self._forward(
+            params, state, spmm, adj_norm, dinv, x,
+            node_mask=node_mask, train=train, rng=rng,
+        )
+
+    def prepare_quant_trainable(self, adjacency: BandedMatrix):
+        """One-time setup for int8-band TRAINING: normalize, quantize the
+        band feature-major, and quantize its TRANSPOSE (the backward
+        operand — ``x̄ = Aᵀ·ȳ`` is a banded SpMM with mirrored diagonals).
+
+        Returns ``(adj_q, adj_qT, dinv)`` for :meth:`apply_quant_trainable`.
+        Pure-band adjacencies only (the hybrid remainder trains f32).
+        """
+        from connectome_gnn_tpu.ops.banded import transpose_banded
+        from connectome_gnn_tpu.ops.banded_quant import (
+            quantize_band,
+            to_feature_major,
+        )
+
+        if isinstance(adjacency, HybridMatrix):
+            raise ValueError(
+                "quantized training supports pure bands; hybrid graphs "
+                "train through apply/apply_normalized (f32)"
+            )
+        adj_norm, dinv = gcn_normalize_banded(adjacency)
+        q = to_feature_major(quantize_band(adj_norm))
+        qT = to_feature_major(quantize_band(transpose_banded(adj_norm)))
+        return q, qT, dinv
+
+    def apply_quant_trainable(
+        self,
+        params: dict,
+        state: dict,
+        adj_q,
+        adj_qT,
+        dinv: jnp.ndarray,
+        x: jnp.ndarray,
+        *,
+        node_mask: Optional[jnp.ndarray] = None,
+        train: bool = True,
+        rng: Optional[jax.Array] = None,
+        interpret: bool = False,
+    ) -> tuple[jnp.ndarray, dict]:
+        """Differentiable int8-band forward (feature-major end-to-end).
+
+        Same layer math as :meth:`apply` with the SpMM replaced by the
+        manual-DMA int8 kernel in BOTH directions
+        (:func:`~connectome_gnn_tpu.ops.banded_quant.
+        banded_spmm_quant_fm_grad`): forward reads the quantized band,
+        backward reads the quantized transpose — 4× less band HBM
+        traffic each way than f32 training.  Train-mode BatchNorm runs
+        feature-major with identical semantics
+        (:func:`~connectome_gnn_tpu.nn.layers.batch_norm_apply_fm`).
+        Gradient error carries the quantization bound (~1% relative,
+        asserted in ``tests/test_banded_quant.py``).
+        """
+        from connectome_gnn_tpu.nn.layers import batch_norm_apply_fm
+        from connectome_gnn_tpu.ops.banded_quant import (
+            banded_spmm_quant_fm_grad,
+        )
+
+        n = adj_q.num_nodes
+        self_normT = (dinv * dinv)[None, :n]
+        mask = node_mask if node_mask is not None else jnp.ones((n,), bool)
+
+        hT = x[:n].T
+        new_norms = []
+        drop_keys = (
+            jax.random.split(rng, self.num_layers)
+            if (train and rng is not None)
+            else [None] * self.num_layers
+        )
+        for i in range(self.num_layers):
+            hwT = jnp.dot(
+                params["convs"][i]["kernel"].T, hT,
+                preferred_element_type=jnp.float32,
+            )
+            hT = (
+                banded_spmm_quant_fm_grad(
+                    adj_q, adj_qT, hwT, interpret=interpret
+                )
+                + self_normT * hwT
+                + params["convs"][i]["bias"][:, None]
+            )
+            hT, bn_state = batch_norm_apply_fm(
+                params["norms"][i], state["norms"][i], hT, mask, train=train
+            )
+            new_norms.append(bn_state)
+            hT = jax.nn.relu(hT)
+            hT = dropout(drop_keys[i], hT, self.dropout, train=train)
+        logits_T = jnp.dot(
+            params["head"]["kernel"].T, hT,
+            preferred_element_type=jnp.float32,
+        )
+        if "bias" in params["head"]:
+            logits_T = logits_T + params["head"]["bias"][:, None]
+        return logits_T.T, {"norms": new_norms}
+
     def prepare_quantized(self, adjacency, feature_major: bool = True):
         """One-time serving setup: GCN-normalize, then int8-quantize.
 

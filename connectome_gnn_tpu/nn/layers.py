@@ -142,6 +142,39 @@ def batch_norm_apply(
     return y, new_state
 
 
+def batch_norm_apply_fm(
+    params: dict,
+    state: dict,
+    xT: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> tuple[jnp.ndarray, dict]:
+    """:func:`batch_norm_apply` for FEATURE-MAJOR activations ``xT [F, N]``
+    (the quantized-band training layout): identical semantics — biased
+    batch variance on the normalize path, unbiased (Bessel) running
+    update, masked node counting — with reductions along the node axis.
+    """
+    if not train:
+        return batch_norm_eval_fm(params, state, xT, eps=eps), state
+    if mask is None:
+        mask = jnp.ones((xT.shape[1],), dtype=xT.dtype)
+    m = mask.astype(xT.dtype)[None, :]
+    n = jnp.sum(m)
+    mean = jnp.sum(xT * m, axis=1) / n
+    var = jnp.sum((xT * xT) * m, axis=1) / n - mean * mean
+    var = jnp.maximum(var, 0.0)
+    y = (xT - mean[:, None]) * jax.lax.rsqrt(var + eps)[:, None]
+    var_unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+    new_state = {
+        "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
+        "var": (1.0 - momentum) * state["var"] + momentum * var_unbiased,
+    }
+    return y * params["scale"][:, None] + params["bias"][:, None], new_state
+
+
 def batch_norm_eval_fm(
     params: dict, state: dict, xT: jnp.ndarray, eps: float = 1e-5
 ) -> jnp.ndarray:

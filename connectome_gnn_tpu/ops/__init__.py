@@ -23,6 +23,7 @@ from connectome_gnn_tpu.ops.banded import (
     hybrid_spmm,
     to_banded,
     to_hybrid,
+    transpose_banded,
 )
 from connectome_gnn_tpu.ops.banded_quant import (
     QuantizedBandedMatrix,
@@ -30,11 +31,13 @@ from connectome_gnn_tpu.ops.banded_quant import (
     QuantizedHybridMatrix,
     banded_spmm_quant,
     banded_spmm_quant_fm,
+    banded_spmm_quant_fm_grad,
     banded_spmm_quant_xla,
     dequantize_band,
     hybrid_spmm_quant,
     quantize_band,
     quantize_hybrid,
+    quantize_transposed_fm,
     to_feature_major,
 )
 from connectome_gnn_tpu.ops.fused_pallas import (
@@ -64,11 +67,13 @@ __all__ = [
     "banded_spmm",
     "banded_spmm_quant",
     "banded_spmm_quant_fm",
+    "banded_spmm_quant_fm_grad",
     "banded_spmm_quant_xla",
     "dequantize_band",
     "hybrid_spmm_quant",
     "quantize_band",
     "quantize_hybrid",
+    "quantize_transposed_fm",
     "coo_spmm",
     "forward_auto",
     "fused_gcn_forward",
@@ -86,5 +91,6 @@ __all__ = [
     "segment_sum",
     "to_banded",
     "to_feature_major",
+    "transpose_banded",
     "to_hybrid",
 ]

@@ -134,6 +134,35 @@ def banded_spmm(a: BandedMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(padded, F)[: a.num_nodes]
 
 
+def transpose_banded(a: BandedMatrix) -> BandedMatrix:
+    """``Aᵀ`` in banded form (same block size and bandwidth).
+
+    ``bandT[cb, d] = band[cb + d - W, 2W - d]ᵀ``: receiver/sender roles
+    swap, so the destination tile on diagonal ``d`` is the transposed
+    source tile from the mirrored diagonal of the shifted block row
+    (rows shifted off either edge are zero — the band is zero there by
+    construction).  This is the cotangent operator of
+    :func:`banded_spmm` w.r.t. ``x`` (``x̄ = Aᵀ·ȳ``), used to run the
+    quantized Pallas kernels in training (:func:`connectome_gnn_tpu.ops.
+    banded_quant.banded_spmm_quant_fm_grad`).
+    """
+    W, blk = a.bandwidth, a.block
+    out = []
+    for d in range(2 * W + 1):
+        shift = d - W  # source block row = cb + shift
+        tiles = jnp.swapaxes(a.band[:, 2 * W - d], 1, 2)
+        if shift > 0:
+            tiles = jnp.concatenate(
+                [tiles[shift:], jnp.zeros((shift, blk, blk), tiles.dtype)]
+            )
+        elif shift < 0:
+            tiles = jnp.concatenate(
+                [jnp.zeros((-shift, blk, blk), tiles.dtype), tiles[:shift]]
+            )
+        out.append(tiles)
+    return BandedMatrix(jnp.stack(out, axis=1), a.num_nodes, W)
+
+
 def banded_row_sum(a: BandedMatrix) -> jnp.ndarray:
     """Weighted receiver (row) degrees, ``[padded]`` — the SAGE mean
     normalizer (rows are local to their block, no halo needed)."""

@@ -308,6 +308,80 @@ def banded_spmm_quant_fm(
     return outT[:, : q.num_nodes]
 
 
+def quantize_transposed_fm(band_norm) -> QuantizedBandedMatrixFM:
+    """Feature-major quantization of ``Aᵀ`` — the backward operand of the
+    trainable quantized SpMM.  For a symmetric normalized adjacency
+    (undirected graphs through GCN sym-norm) the tile partners share
+    their max-abs, so the transposed quantization is exactly the
+    re-indexed forward one; for general bands the scales differ slightly
+    (same per-entry bound either way)."""
+    from connectome_gnn_tpu.ops.banded import transpose_banded
+
+    return to_feature_major(quantize_band(transpose_banded(band_norm)))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fm_trainable(num_nodes, bandwidth, interpret,
+                  band_qT, scales, bandT_qT, scalesT, xT):
+    q = QuantizedBandedMatrixFM(band_qT, scales, num_nodes, bandwidth)
+    return banded_spmm_quant_fm(q, xT, interpret=interpret)
+
+
+def _fm_trainable_fwd(num_nodes, bandwidth, interpret,
+                      band_qT, scales, bandT_qT, scalesT, xT):
+    q = QuantizedBandedMatrixFM(band_qT, scales, num_nodes, bandwidth)
+    out = banded_spmm_quant_fm(q, xT, interpret=interpret)
+    return out, (bandT_qT, scalesT)
+
+
+def _fm_trainable_bwd(num_nodes, bandwidth, interpret, res, gT):
+    import numpy as np
+
+    bandT_qT, scalesT = res
+    qT = QuantizedBandedMatrixFM(bandT_qT, scalesT, num_nodes, bandwidth)
+    dxT = banded_spmm_quant_fm(qT, gT, interpret=interpret)
+    # the quantized operands are constants (int8 primals take float0
+    # cotangents; f32 scale zeros are DCE'd by XLA)
+    f0 = np.zeros((), jax.dtypes.float0)
+    return (
+        np.broadcast_to(f0, bandT_qT.shape),
+        jnp.zeros_like(scalesT),
+        np.broadcast_to(f0, bandT_qT.shape),
+        jnp.zeros_like(scalesT),
+        dxT,
+    )
+
+
+_fm_trainable.defvjp(_fm_trainable_fwd, _fm_trainable_bwd)
+
+
+def banded_spmm_quant_fm_grad(
+    q: QuantizedBandedMatrixFM,
+    qT: QuantizedBandedMatrixFM,
+    xT: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TRAINABLE feature-major quantized SpMM: ``(A_q @ x)ᵀ`` whose VJP
+    w.r.t. ``xT`` runs the SAME manual-DMA int8 kernel on the transposed
+    band (``x̄ᵀ = (Aᵀ·ȳ)ᵀ`` — a banded SpMM with mirrored diagonals,
+    :func:`~connectome_gnn_tpu.ops.banded.transpose_banded`).  Both the
+    forward and backward band reads stay int8 (4× less HBM traffic than
+    the f32 einsum each way); gradient error carries the same per-entry
+    quantization bound as the forward.  ``qT`` comes from
+    :func:`quantize_transposed_fm` at prepare time.
+    """
+    if q.num_nodes != qT.num_nodes or q.bandwidth != qT.bandwidth:
+        raise ValueError("q and qT disagree on geometry")
+    return _fm_trainable(
+        q.num_nodes, q.bandwidth, interpret,
+        q.band_qT, q.scales, qT.band_qT, qT.scales, xT,
+    )
+
+
 def banded_spmm_quant(
     q: QuantizedBandedMatrix,
     x: jnp.ndarray,

@@ -376,3 +376,73 @@ class TestBandedPallas:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+class TestTransposeBanded:
+    def test_matches_dense_transpose(self):
+        """transpose_banded(A) @ I == (A @ I)ᵀ on a random non-symmetric
+        band (the cotangent operator of banded_spmm)."""
+        import jax
+        from connectome_gnn_tpu.ops import transpose_banded
+
+        rng = np.random.default_rng(0)
+        n, block, W = 96, 16, 2
+        nb = n // block
+        band = rng.standard_normal((nb, 2 * W + 1, block, block)).astype(
+            np.float32
+        )
+        a = BandedMatrix(jnp.asarray(band), n, W)
+        eye = jnp.eye(n, dtype=jnp.float32)
+        dense = np.asarray(banded_spmm(a, eye))
+        dense_t = np.asarray(banded_spmm(transpose_banded(a), eye))
+        np.testing.assert_allclose(dense_t, dense.T, rtol=1e-6, atol=1e-6)
+
+    def test_vjp_of_banded_spmm(self):
+        """Aᵀ·ȳ through transpose_banded equals jax.vjp of banded_spmm."""
+        import jax
+        from connectome_gnn_tpu.data import generate_spatial_graph
+        from connectome_gnn_tpu.ops import transpose_banded
+
+        g = generate_spatial_graph(256, degree=5, band=24, num_features=8,
+                                   seed=4)
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        x = jnp.asarray(g.node_features)
+        cot = jnp.asarray(
+            np.random.default_rng(1).standard_normal(x.shape), jnp.float32
+        )
+        _, vjp = jax.vjp(lambda v: banded_spmm(a, v), x)
+        (dx_auto,) = vjp(cot)
+        dx_manual = banded_spmm(transpose_banded(a), cot)
+        np.testing.assert_allclose(
+            np.asarray(dx_manual), np.asarray(dx_auto), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestApplyNormalized:
+    def test_matches_apply(self):
+        """prepare + apply_normalized == apply (training-step hoisting)."""
+        import jax
+        from connectome_gnn_tpu.data import generate_spatial_graph
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+
+        g = generate_spatial_graph(256, degree=5, band=24, seed=5)
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(g.node_features)
+        ref, ref_state = model.apply(params, state, a, x, train=True)
+        adj_norm, dinv = model.prepare(a)
+        out, out_state = model.apply_normalized(
+            params, state, adj_norm, dinv, x, train=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+        for s1, s2 in zip(
+            __import__("jax").tree_util.tree_leaves(ref_state),
+            __import__("jax").tree_util.tree_leaves(out_state),
+        ):
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                       rtol=1e-6, atol=1e-6)

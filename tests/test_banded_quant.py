@@ -295,3 +295,177 @@ class TestQuantizedServing:
         ker = np.asarray(banded_spmm_quant(q, x, interpret=True))
         # differ only in activation precision (f32 vs bf16)
         np.testing.assert_allclose(ker, xla, rtol=2e-2, atol=2e-2)
+
+
+class TestQuantTrainable:
+    """The int8-band TRAINING path: custom-VJP kernel + model gradients."""
+
+    def _setup(self, n=640, block=64, feat=16):
+        from connectome_gnn_tpu.ops import gcn_normalize_banded
+
+        a, x = _banded(seed=2, n=n, block=block, feat=feat)
+        adj_norm, dinv = gcn_normalize_banded(a)
+        return a, adj_norm, dinv, x
+
+    def test_forward_is_the_fm_kernel(self, cpu_devices):
+        from connectome_gnn_tpu.ops import (
+            banded_spmm_quant_fm,
+            banded_spmm_quant_fm_grad,
+            quantize_band,
+            quantize_transposed_fm,
+            to_feature_major,
+        )
+
+        _, adj_norm, _, x = self._setup()
+        q = to_feature_major(quantize_band(adj_norm))
+        qT = quantize_transposed_fm(adj_norm)
+        xT = jnp.asarray(x).T
+        out = banded_spmm_quant_fm_grad(q, qT, xT, interpret=True)
+        ref = banded_spmm_quant_fm(q, xT, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_gradient_matches_f32_oracle_within_quant_bound(self, cpu_devices):
+        """d/dx of the trainable quant SpMM == f32 banded gradient to ~1%
+        (the backward reads a separately-quantized Aᵀ)."""
+        import jax
+        from connectome_gnn_tpu.ops import (
+            banded_spmm,
+            banded_spmm_quant_fm_grad,
+            quantize_band,
+            quantize_transposed_fm,
+            to_feature_major,
+        )
+
+        _, adj_norm, _, x = self._setup()
+        q = to_feature_major(quantize_band(adj_norm))
+        qT = quantize_transposed_fm(adj_norm)
+        xT = jnp.asarray(x).T
+        cot = jnp.asarray(
+            np.random.default_rng(3).standard_normal(xT.shape), jnp.float32
+        )
+
+        def loss_q(v):
+            return jnp.sum(
+                banded_spmm_quant_fm_grad(q, qT, v, interpret=True) * cot
+            )
+
+        def loss_f(v):
+            return jnp.sum(banded_spmm(adj_norm, v.T).T * cot)
+
+        g_q = np.asarray(jax.grad(loss_q)(xT))
+        g_f = np.asarray(jax.grad(loss_f)(xT))
+        rel = np.linalg.norm(g_q - g_f) / np.linalg.norm(g_f)
+        assert rel < 2e-2, rel
+
+    def test_model_gradients_match_f32_within_bound(self, cpu_devices):
+        """Full BandedNodeGCN: int8-trainable param gradients track the
+        f32 path at the quantization error scale."""
+        import jax
+        import optax
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+
+        a, adj_norm, dinv, x = self._setup()
+        model = BandedNodeGCN(in_channels=16, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        q, qT, dinv_q = model.prepare_quant_trainable(a)
+        np.testing.assert_allclose(np.asarray(dinv_q), np.asarray(dinv))
+        labels = jnp.asarray(
+            np.random.default_rng(4).integers(0, 2, a.num_nodes), jnp.int32
+        )
+
+        def loss_quant(p):
+            logits, _ = model.apply_quant_trainable(
+                p, state, q, qT, dinv, jnp.asarray(x), train=True,
+                interpret=True,
+            )
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            )
+
+        def loss_f32(p):
+            logits, _ = model.apply_normalized(
+                p, state, adj_norm, dinv, jnp.asarray(x), train=True
+            )
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            )
+
+        lq, gq = jax.value_and_grad(loss_quant)(params)
+        lf, gf = jax.value_and_grad(loss_f32)(params)
+        assert abs(float(lq) - float(lf)) / abs(float(lf)) < 2e-2
+        flat_q = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(gq)]
+        )
+        flat_f = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(gf)]
+        )
+        rel = np.linalg.norm(flat_q - flat_f) / np.linalg.norm(flat_f)
+        assert rel < 5e-2, rel
+
+    def test_eval_mode_matches_serving_forward(self, cpu_devices):
+        """train=False through apply_quant_trainable == the serving
+        apply_quantized fm path (same kernel, same eval BN)."""
+        import jax
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+
+        a, _, _, x = self._setup()
+        model = BandedNodeGCN(in_channels=16, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        q, qT, dinv = model.prepare_quant_trainable(a)
+        train_path, _ = model.apply_quant_trainable(
+            params, state, q, qT, dinv, jnp.asarray(x), train=False,
+            interpret=True,
+        )
+        serve_path, _ = model.apply_quantized(
+            params, state, q, dinv, jnp.asarray(x), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(train_path), np.asarray(serve_path),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_quantized_training_converges_like_f32(self, cpu_devices):
+        """A few Adam steps through the int8 path track the f32 loss
+        trajectory — quantization error does not compound destructively."""
+        import jax
+        import optax
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+
+        a, adj_norm, dinv, x = self._setup(n=320, block=32)
+        # learnable labels: sign of the aggregated first feature
+        agg = np.asarray(banded_spmm_quant_xla(
+            quantize_band(adj_norm), jnp.asarray(x)
+        ))[:, 0]
+        labels = jnp.asarray((agg > np.median(agg)).astype(np.int32))
+        model = BandedNodeGCN(in_channels=16, hidden_dim=16, num_layers=2)
+        q, qT, _ = model.prepare_quant_trainable(a)
+        opt = optax.adam(1e-2)
+
+        def run(apply_fn):
+            params, state = model.init(jax.random.PRNGKey(0))
+            opt_state = opt.init(params)
+            losses = []
+            for _ in range(8):
+                def loss_fn(p, s):
+                    logits, new_s = apply_fn(p, s)
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels
+                    )
+                    return jnp.mean(ce), new_s
+
+                (loss, state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, state)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                losses.append(float(loss))
+            return losses
+
+        l_q = run(lambda p, s: model.apply_quant_trainable(
+            p, s, q, qT, dinv, jnp.asarray(x), train=True, interpret=True
+        ))
+        l_f = run(lambda p, s: model.apply_normalized(
+            p, s, adj_norm, dinv, jnp.asarray(x), train=True
+        ))
+        assert l_q[-1] < l_q[0]  # learning
+        assert abs(l_q[-1] - l_f[-1]) < 0.05, (l_q, l_f)
