@@ -5,6 +5,12 @@ from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round
 from connectome_gnn_tpu.data.dense import DenseConnectomeBatch, collate_dense
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
+from connectome_gnn_tpu.data.layout import (
+    LayoutPlan,
+    auto_layout,
+    build_layout,
+    plan_layout,
+)
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
 from connectome_gnn_tpu.data.prefetch import PrefetchIterator, PrefetchLoader
 from connectome_gnn_tpu.data.sampled import (
@@ -35,8 +41,12 @@ __all__ = [
     "ConnectomeGraph",
     "ConnectomeDataLoader",
     "DenseConnectomeBatch",
+    "LayoutPlan",
     "PrefetchIterator",
     "PrefetchLoader",
+    "auto_layout",
+    "build_layout",
+    "plan_layout",
     "collate_dense",
     "collate_graphs",
     "graph_from_adjacency",

@@ -75,6 +75,115 @@ def _rcm_numpy(
     return np.asarray(result[::-1], np.int64)
 
 
+def spectral_ordering(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    edge_weight: np.ndarray | None = None,
+    *,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    reweight_iters: int = 3,
+    seed: int = 0,
+    return_iterates: bool = False,
+) -> np.ndarray | list[np.ndarray]:
+    """Iteratively-reweighted Fiedler ordering: ``perm[new] = old``.
+
+    Sorts nodes by the second-smallest eigenvector of the graph
+    Laplacian — the 1-D embedding minimizing ``Σ w_ij (p_i - p_j)²``
+    (Barnard/Pothen/Simon spectral envelope reduction) — then REWEIGHTS:
+    edges stretched in the current embedding are downweighted
+    (``w ← w₀ / (1 + stretch/9σ)``) and the eigenproblem re-solved,
+    ``reweight_iters`` times, warm-started.
+
+    Why both stages matter (measured, 16k-node ±256-band graph with 10%
+    uniform shortcuts, scrambled ids): RCM's BFS levels are teleported
+    by any single shortcut (~0.8 of edges left out of band); the PLAIN
+    Fiedler vector fails differently — 10% uniform shortcuts make the
+    graph an expander (λ₂ ≈ 0.38, no low-frequency geometry), leaving
+    ~0.55.  The reweighting is what recovers the latent band: stretched
+    edges are exactly the shortcuts, and three IRLS rounds drive
+    λ₂ → 1e-6 and the out-of-band mass to ~0.28 (±4 blocks).  Further
+    rounds can DISCONNECT the downweighted graph (λ₂ → 0, Fiedler
+    degenerates to a component indicator) — so callers that can price
+    orderings (``plan_layout``) should pass ``return_iterates=True`` and
+    pick the cost-model argmin instead of trusting the last iterate.
+
+    Eigensolves run per connected component with LOBPCG (Jacobi
+    preconditioner, constant vector constrained out).
+    """
+    import warnings
+
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+    from scipy.sparse.linalg import lobpcg
+
+    src = np.concatenate([edge_index[0], edge_index[1]]).astype(np.int64)
+    dst = np.concatenate([edge_index[1], edge_index[0]]).astype(np.int64)
+    if edge_weight is None:
+        w0 = np.ones(src.shape[0], np.float64)
+    else:
+        w0 = np.abs(
+            np.concatenate([edge_weight, edge_weight]).astype(np.float64)
+        )
+
+    struct = sp.csr_matrix(
+        (np.ones_like(w0), (dst, src)), shape=(num_nodes, num_nodes)
+    )
+    n_comp, comp = connected_components(struct, directed=False)
+    comp_nodes = [np.flatnonzero(comp == c) for c in range(n_comp)]
+    rng = np.random.default_rng(seed)
+
+    def solve(w, warm: np.ndarray | None) -> np.ndarray:
+        adj = sp.csr_matrix((w, (dst, src)), shape=(num_nodes, num_nodes))
+        adj.sum_duplicates()
+        key = np.zeros(num_nodes, np.float64)
+        for nodes in comp_nodes:
+            if nodes.size <= 2:
+                key[nodes] = np.arange(nodes.size)
+                continue
+            sub = adj[nodes][:, nodes].tocsr()
+            deg = np.asarray(sub.sum(axis=1)).ravel()
+            lap = sp.diags(deg) - sub
+            x0 = (
+                warm[nodes][:, None]
+                if warm is not None
+                else rng.standard_normal((nodes.size, 1))
+            )
+            ones = np.ones((nodes.size, 1)) / np.sqrt(nodes.size)
+            m_inv = sp.diags(1.0 / np.maximum(deg, 1e-12))
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    _, vec = lobpcg(
+                        lap, x0, M=m_inv, Y=ones, tol=tol, maxiter=maxiter,
+                        largest=False,
+                    )
+                v = vec[:, 0]
+                # unit variance per component: stretches comparable across
+                # components and IRLS rounds
+                v = v / max(float(v.std()), 1e-30)
+                key[nodes] = v
+            except Exception:
+                # LOBPCG breakdown (degenerate component): keep input order
+                key[nodes] = np.arange(nodes.size)
+        return key
+
+    def to_perm(key) -> np.ndarray:
+        # stable sort by (component, fiedler value): components contiguous
+        return np.lexsort((key, comp)).astype(np.int64)
+
+    v = solve(w0, None)
+    iterates = [to_perm(v)]
+    for _ in range(reweight_iters):
+        stretch = (v[src] - v[dst]) ** 2
+        pos = stretch[stretch > 0]
+        sigma = float(np.median(pos)) if pos.size else 1.0
+        w = w0 / (1.0 + stretch / (9.0 * sigma + 1e-30))
+        v = solve(w, v)
+        iterates.append(to_perm(v))
+    return iterates if return_iterates else iterates[-1]
+
+
 def apply_ordering(graph: ConnectomeGraph, perm: np.ndarray) -> ConnectomeGraph:
     """Relabel a graph by ``perm`` (``perm[new] = old``)."""
     inverse = np.empty_like(perm)
