@@ -568,9 +568,77 @@ def bench_spmm_banded_giant_quant_fm(num_nodes=1 << 20, degree=38,
     }
 
 
+def bench_spmm_banded_giant_quant_fm_w8a8(num_nodes=1 << 20, degree=38,
+                                          band_nodes=512, feat=64,
+                                          block=256, rows_per_step=32,
+                                          iters=10):
+    """5q8: the w8a8 serving kernel at full config-5 scale — int8 band ×
+    per-block int8 activations through native int8 MXU dots
+    (ops/banded_quant.banded_spmm_quant_fm_w8a8).  Measured 97% of its
+    traffic-ideal: the bf16-activation kernel's dequant relayouts
+    contended with the DMA streams; this one has none
+    (FM_DIAG_r03.json).  The timed loop re-quantizes the activations
+    every iteration — the honest per-SpMM serving cost.
+    """
+    import importlib
+
+    quant_exp = importlib.import_module("benchmarks.quant_experiments")
+    from connectome_gnn_tpu.ops.banded import banded_spmm
+    from connectome_gnn_tpu.ops.banded_quant import (
+        QuantizedBandedMatrixFM,
+        banded_spmm_quant_fm_w8a8,
+        quantize_band,
+        to_feature_major,
+    )
+
+    a, E = quant_exp.build_band(num_nodes, degree, band_nodes, block)
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(1), (num_nodes, feat), jnp.float32
+    )
+    q_fm = to_feature_major(quantize_band(a))
+    x0T = jnp.asarray(x0.T)
+    ref = banded_spmm(a, x0)
+    rel = float(
+        jnp.linalg.norm(
+            banded_spmm_quant_fm_w8a8(
+                q_fm, x0T, rows_per_step=rows_per_step
+            ).T - ref
+        )
+        / jnp.linalg.norm(ref)
+    )
+    assert rel < 3e-2, f"w8a8 kernel error {rel} out of bound"
+    del ref, x0
+    a.band.delete()
+
+    dt = chained_loop_time(
+        lambda vT, bqT, s: banded_spmm_quant_fm_w8a8(
+            QuantizedBandedMatrixFM(bqT, s, q_fm.num_nodes, q_fm.bandwidth),
+            vT, rows_per_step=rows_per_step,
+        ),
+        x0T, iters, q_fm.band_qT, q_fm.scales,
+    )
+    W = q_fm.bandwidth
+    padded = q_fm.num_blocks * q_fm.block
+    model_bytes = (
+        q_fm.band_qT.size + q_fm.scales.size * 4
+        + (rows_per_step + 2 * W) / rows_per_step * padded * feat * 1
+        + padded * feat * 4
+        # plus the in-loop requantization pass (read f32 + write int8)
+        + padded * feat * 5
+    )
+    return {
+        "ms_per_spmm": dt * 1e3,
+        "edges_per_s": E / dt,
+        "rel_err_vs_f32": rel,
+        "num_nodes": num_nodes,
+        "num_edges": E,
+        **roofline(dt, bytes_moved=model_bytes),
+    }
+
+
 def bench_giant_model_serving(num_nodes=1 << 20, degree=38, band_nodes=512,
                               feat=64, hidden=64, num_layers=2, block=256,
-                              iters=10):
+                              iters=10, w8a8=False):
     """Whole-model int8 serving at the 1M-node config: BandedNodeGCN
     ``prepare_quantized`` (feature-major) + jitted ``apply_quantized`` —
     the product-level number behind the 5qm kernel row (per step:
@@ -602,7 +670,7 @@ def bench_giant_model_serving(num_nodes=1 << 20, degree=38, band_nodes=512,
             adj_band, scales, adj_q.num_nodes, adj_q.bandwidth
         )
         logits, _ = model.apply_quantized(
-            params, state, q, dinv, x + eps
+            params, state, q, dinv, x + eps, w8a8=w8a8
         )
         return jnp.sum(logits)
 
@@ -615,9 +683,12 @@ def bench_giant_model_serving(num_nodes=1 << 20, degree=38, band_nodes=512,
     W = adj_q.bandwidth
     padded = adj_q.num_blocks * adj_q.block
     R = 32
+    xb = 1 if w8a8 else 2  # int8 vs bf16 activation windows
+    requant = padded * hidden * 5 if w8a8 else 0  # f32 read + int8 write
     model_bytes = num_layers * (
         adj_q.band_qT.size + adj_q.scales.size * 4
-        + (R + 2 * W) / R * padded * hidden * 2 + padded * hidden * 4
+        + (R + 2 * W) / R * padded * hidden * xb + padded * hidden * 4
+        + requant
     )
     return {
         "ms_per_forward": dt * 1e3,
@@ -1055,9 +1126,15 @@ BENCHES = {
     "5qm": ("int8 banded SpMM, FEATURE-MAJOR manual-DMA kernel, config-5 "
             "scale",
             bench_spmm_banded_giant_quant_fm),
+    "5q8": ("w8a8 banded SpMM (int8 MXU dots, per-block int8 activations), "
+            "config-5 scale",
+            bench_spmm_banded_giant_quant_fm_w8a8),
     "5qs": ("whole-model int8 serving (BandedNodeGCN fm), 1M nodes, "
             "2 layers",
             bench_giant_model_serving),
+    "5qs8": ("whole-model w8a8 serving (BandedNodeGCN fm, int8 MXU), "
+             "1M nodes, 2 layers",
+             lambda: bench_giant_model_serving(w8a8=True)),
     "T": ("GCN train step (fwd+bwd+Adam), bs=512 dense",
           bench_train_step),
     "5t": ("giant-graph TRAIN step (fwd+bwd+Adam), BandedNodeGCN 2-layer, "
@@ -1085,7 +1162,8 @@ def _sage():
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--configs", default="1,2,3,4,5,5b,5c,5d,5q,5qm,5qs,T,5t,5tq,S,S2"
+        "--configs",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

@@ -282,12 +282,20 @@ class BandedNodeGCN:
         *,
         node_mask: Optional[jnp.ndarray] = None,
         rows_per_step: int = 8,
+        w8a8: bool = False,
         interpret: bool = False,
     ) -> tuple[jnp.ndarray, dict]:
         """Inference forward over a :func:`prepare_quantized` adjacency.
 
         Serving-only (no ``train`` path: gradients through the int8 band
         are not defined); BN uses running statistics.
+
+        ``w8a8`` (feature-major adjacencies only) also quantizes each
+        layer's activations per column block to int8 and runs the native
+        int8-MXU kernel (:func:`~connectome_gnn_tpu.ops.banded_quant.
+        banded_spmm_quant_fm_w8a8`) — measured 1.7× over the bf16-
+        activation kernel at the 1M-node config at ~1% additional
+        relative error (FM_DIAG_r03.json).
         """
         from functools import partial
 
@@ -300,7 +308,13 @@ class BandedNodeGCN:
 
         if isinstance(adj_q, QuantizedBandedMatrixFM):
             return self._forward_quant_fm(
-                params, state, adj_q, dinv, x, interpret=interpret
+                params, state, adj_q, dinv, x, w8a8=w8a8,
+                interpret=interpret,
+            )
+        if w8a8:
+            raise ValueError(
+                "w8a8 serving requires a feature-major adjacency "
+                "(prepare_quantized(..., feature_major=True))"
             )
         spmm = partial(
             hybrid_spmm_quant
@@ -315,17 +329,23 @@ class BandedNodeGCN:
         )
 
     def _forward_quant_fm(
-        self, params, state, adj_q, dinv, x, *, interpret=False
+        self, params, state, adj_q, dinv, x, *, w8a8=False, interpret=False
     ) -> tuple[jnp.ndarray, dict]:
         """Layout-persistent quantized serving: activations stay
         feature-major (``[F, N]``) across every layer — the manual-DMA
         band kernel's native layout — and only the tiny input
         (``[N, in_channels]``) and logits (``[N, classes]``) transpose at
         the model boundary.  Eval-mode semantics identical to
-        :meth:`_forward` (running-stat BN, no dropout)."""
+        :meth:`_forward` (running-stat BN, no dropout).  ``w8a8`` swaps
+        in the int8-activation kernel (per-layer requantization fuses
+        with the BN/ReLU epilogue under jit)."""
         from connectome_gnn_tpu.nn.layers import batch_norm_eval_fm
-        from connectome_gnn_tpu.ops.banded_quant import banded_spmm_quant_fm
+        from connectome_gnn_tpu.ops.banded_quant import (
+            banded_spmm_quant_fm,
+            banded_spmm_quant_fm_w8a8,
+        )
 
+        spmm = banded_spmm_quant_fm_w8a8 if w8a8 else banded_spmm_quant_fm
         n = adj_q.num_nodes
         self_normT = (dinv * dinv)[None, :n]
 
@@ -336,7 +356,7 @@ class BandedNodeGCN:
                 preferred_element_type=jnp.float32,
             )
             hT = (
-                banded_spmm_quant_fm(adj_q, hwT, interpret=interpret)
+                spmm(adj_q, hwT, interpret=interpret)
                 + self_normT * hwT
                 + params["convs"][i]["bias"][:, None]
             )

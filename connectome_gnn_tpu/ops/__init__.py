@@ -32,6 +32,8 @@ from connectome_gnn_tpu.ops.banded_quant import (
     banded_spmm_quant,
     banded_spmm_quant_fm,
     banded_spmm_quant_fm_grad,
+    banded_spmm_quant_fm_w8a8,
+    quantize_activations_fm,
     banded_spmm_quant_xla,
     dequantize_band,
     hybrid_spmm_quant,
@@ -68,6 +70,8 @@ __all__ = [
     "banded_spmm_quant",
     "banded_spmm_quant_fm",
     "banded_spmm_quant_fm_grad",
+    "banded_spmm_quant_fm_w8a8",
+    "quantize_activations_fm",
     "banded_spmm_quant_xla",
     "dequantize_band",
     "hybrid_spmm_quant",

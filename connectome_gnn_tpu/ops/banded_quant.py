@@ -308,6 +308,156 @@ def banded_spmm_quant_fm(
     return outT[:, : q.num_nodes]
 
 
+def quantize_activations_fm(
+    xT_pad: jnp.ndarray, block: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-column-block symmetric int8 quantization of padded
+    feature-major activations: ``[F, NBwin·block]`` → int8 of the same
+    shape + one f32 scale per column block (max-abs/127; all-zero blocks
+    get scale 1).  Max entry error ``scale/2`` ≈ 0.4% of the block's
+    largest activation.  Under a whole-model jit this fuses with the
+    preceding layer's BN/ReLU epilogue (one elementwise+reduction pass).
+    """
+    F, total = xT_pad.shape
+    nbw = total // block
+    xb = xT_pad.astype(jnp.float32).reshape(F, nbw, block)
+    maxabs = jnp.max(jnp.abs(xb), axis=(0, 2))
+    scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
+    xq = jnp.clip(
+        jnp.round(xb / scale[None, :, None]), -127, 127
+    ).astype(jnp.int8)
+    return xq.reshape(F, total), scale.astype(jnp.float32)
+
+
+def banded_spmm_quant_fm_w8a8(
+    q: QuantizedBandedMatrixFM,
+    xT: jnp.ndarray,
+    *,
+    rows_per_step: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``(A_q @ x)ᵀ`` with int8 band AND int8 activations: the manual-DMA
+    pipeline of :func:`banded_spmm_quant_fm` driving native
+    int8×int8→int32 MXU dots with a per-(tile, x-block) f32 scale fixup.
+
+    Measured 2.69 ms at the 1M-node config — **97% of its traffic-ideal
+    time and 1.7× over the bf16-activation kernel** (FM_DIAG_r03.json).
+    The bf16 kernel's loss was never bandwidth or MXU work: its per-tile
+    ``int8→bf16`` conversions lower to VMEM relayout copies that contend
+    with the HBM DMA streams (the kernel runs at DMA-floor speed with
+    compute measured at 1.3 ms); consuming int8 directly removes that
+    traffic entirely and halves the x stream.  Additional error vs the
+    w8a16 kernel is the per-block activation rounding (~0.4% per entry,
+    measured ~1.2% relative end-to-end vs f32).
+
+    ``xT`` is ``[F, num_nodes]`` f32/bf16; quantization happens inside
+    (one fused XLA pass, ~0.76 ms standalone at 1M nodes — fuses into
+    the previous layer's epilogue under a whole-model jit).
+    """
+    block, nb, W = q.block, q.num_blocks, q.bandwidth
+    D = 2 * W + 1
+    padded = nb * block
+    F = xT.shape[0]
+    R = max(1, min(int(rows_per_step), nb))
+    while nb % R:
+        R -= 1
+    num_chunks = nb // R
+    win = R + 2 * W
+
+    xT_pad = jnp.zeros((F, (nb + 2 * W) * block), jnp.float32)
+    xT_pad = jax.lax.dynamic_update_slice(
+        xT_pad, xT[:, : q.num_nodes].astype(jnp.float32), (0, W * block)
+    )
+    xq, xscales = quantize_activations_fm(xT_pad, block)
+
+    def kernel(scales_ref, xscale_ref, band_hbm, x_hbm, out_hbm,
+               band_buf, x_buf, out_buf, band_sem, x_sem, out_sem):
+        def band_dma(slot, i):
+            return pltpu.make_async_copy(
+                band_hbm.at[pl.ds(i * R, R)], band_buf.at[slot],
+                band_sem.at[slot],
+            )
+
+        def x_dma(slot, i):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(i * R * block, win * block)],
+                x_buf.at[slot], x_sem.at[slot],
+            )
+
+        def out_dma(slot, i):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                out_hbm.at[:, pl.ds(i * R * block, R * block)],
+                out_sem.at[slot],
+            )
+
+        band_dma(0, 0).start()
+        x_dma(0, 0).start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < num_chunks)
+            def _():
+                band_dma(1 - slot, i + 1).start()
+                x_dma(1 - slot, i + 1).start()
+
+            band_dma(slot, i).wait()
+            x_dma(slot, i).wait()
+
+            @pl.when(i >= 2)
+            def _():
+                out_dma(slot, i - 2).wait()
+
+            for r in range(R):
+                acc = jnp.zeros((F, block), jnp.float32)
+                for d in range(D):
+                    tileT = band_buf[slot, r, d]
+                    xw = x_buf[slot, :, (r + d) * block:(r + d + 1) * block]
+                    dot_i32 = jnp.dot(
+                        xw, tileT, preferred_element_type=jnp.int32
+                    )
+                    s = (
+                        scales_ref[(i * R + r) * D + d]
+                        * xscale_ref[i * R + r + d]
+                    )
+                    acc += s * dot_i32.astype(jnp.float32)
+                out_buf[slot, :, r * block:(r + 1) * block] = acc
+            out_dma(slot, i).start()
+
+        jax.lax.fori_loop(0, num_chunks, body, None)
+        if num_chunks >= 2:
+            out_dma((num_chunks - 2) % 2, num_chunks - 2).wait()
+        out_dma((num_chunks - 1) % 2, num_chunks - 1).wait()
+
+    outT = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, R, D, block, block), jnp.int8),
+                pltpu.VMEM((2, F, win * block), jnp.int8),
+                pltpu.VMEM((2, F, R * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((F, padded), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q.scales.reshape(-1), xscales, q.band_qT, xq)
+    return outT[:, : q.num_nodes]
+
+
 def quantize_transposed_fm(band_norm) -> QuantizedBandedMatrixFM:
     """Feature-major quantization of ``Aᵀ`` — the backward operand of the
     trainable quantized SpMM.  For a symmetric normalized adjacency

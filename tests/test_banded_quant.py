@@ -201,6 +201,114 @@ class TestFeatureMajorKernel:
         )
 
 
+class TestW8A8Kernel:
+    """int8-band × int8-activation kernel (banded_spmm_quant_fm_w8a8):
+    the 97%-of-roofline serving kernel (FM_DIAG_r03.json).  Adds a
+    per-column-block activation rounding (~0.4% per entry) on top of the
+    band quantization bound."""
+
+    def test_matches_w8a8_emulation(self, cpu_devices):
+        from connectome_gnn_tpu.ops import (
+            banded_spmm_quant_fm_w8a8,
+            quantize_activations_fm,
+            to_feature_major,
+        )
+        from connectome_gnn_tpu.ops.banded import banded_spmm
+        from connectome_gnn_tpu.ops.banded_quant import dequantize_band
+
+        a, x = _banded()
+        q = quantize_band(a)
+        q_fm = to_feature_major(q)
+        nb, W, block = q.num_blocks, q.bandwidth, q.block
+
+        # emulate: dequantized band @ dequantized per-block activations
+        xT_pad = jnp.zeros((x.shape[1], (nb + 2 * W) * block), jnp.float32)
+        xT_pad = xT_pad.at[:, W * block:W * block + a.num_nodes].set(
+            jnp.asarray(x.T[:, : a.num_nodes])
+        )
+        xq, xs = quantize_activations_fm(xT_pad, block)
+        x_deq = (
+            xq.astype(jnp.float32).reshape(x.shape[1], -1, block)
+            * xs[None, :, None]
+        ).reshape(x.shape[1], -1)[:, W * block:W * block + a.num_nodes].T
+        want = np.asarray(banded_spmm(dequantize_band(q), x_deq))
+
+        got = np.asarray(
+            banded_spmm_quant_fm_w8a8(q_fm, jnp.asarray(x.T), interpret=True)
+        ).T
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_close_to_f32_oracle(self, cpu_devices):
+        from connectome_gnn_tpu.ops import (
+            banded_spmm_quant_fm_w8a8,
+            to_feature_major,
+        )
+        from connectome_gnn_tpu.ops.banded import banded_spmm
+
+        a, x = _banded()
+        q_fm = to_feature_major(quantize_band(a))
+        want = np.asarray(banded_spmm(a, x))
+        got = np.asarray(
+            banded_spmm_quant_fm_w8a8(q_fm, jnp.asarray(x.T), interpret=True)
+        ).T
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 3e-2, rel
+
+    def test_ragged_tail(self, cpu_devices):
+        from connectome_gnn_tpu.ops import (
+            banded_spmm_quant_fm_w8a8,
+            to_feature_major,
+        )
+        from connectome_gnn_tpu.ops.banded import banded_spmm
+
+        a, x = _banded(n=600, block=64)
+        q_fm = to_feature_major(quantize_band(a))
+        got = np.asarray(
+            banded_spmm_quant_fm_w8a8(q_fm, jnp.asarray(x.T), interpret=True)
+        )
+        assert got.shape == (x.shape[1], 600)
+        want = np.asarray(banded_spmm(a, x))
+        rel = np.linalg.norm(got.T - want) / np.linalg.norm(want)
+        assert rel < 3e-2, rel
+
+    def test_model_w8a8_serving(self, cpu_devices):
+        from connectome_gnn_tpu.models import BandedNodeGCN
+
+        g = generate_spatial_graph(640, degree=6, band=40, seed=12)
+        a = to_banded(
+            g.edge_index[0], g.edge_index[1], g.edge_weight, 640, block=64
+        )
+        x = jnp.asarray(g.node_features)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=32, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        want, _ = model.apply(params, state, a, x, train=False)
+        adj_q, dinv = model.prepare_quantized(a)
+        got, _ = model.apply_quantized(
+            params, state, adj_q, dinv, x, w8a8=True, interpret=True
+        )
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 8e-2, rel
+        agree = float(jnp.mean(jnp.argmax(got, 1) == jnp.argmax(want, 1)))
+        assert agree > 0.98, agree
+
+    def test_w8a8_requires_feature_major(self, cpu_devices):
+        from connectome_gnn_tpu.models import BandedNodeGCN
+
+        g = generate_spatial_graph(320, degree=6, band=40, seed=13)
+        a = to_banded(
+            g.edge_index[0], g.edge_index[1], g.edge_weight, 320, block=64
+        )
+        model = BandedNodeGCN(in_channels=5, hidden_dim=16, num_layers=1)
+        params, state = model.init(jax.random.PRNGKey(0))
+        adj_q, dinv = model.prepare_quantized(a, feature_major=False)
+        with pytest.raises(ValueError):
+            model.apply_quantized(
+                params, state, adj_q, dinv,
+                jnp.asarray(g.node_features), w8a8=True, interpret=True,
+            )
+
+
 class TestQuantizedServing:
     """Model-level int8 serving: prepare_quantized + apply_quantized."""
 
