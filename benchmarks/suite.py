@@ -917,14 +917,12 @@ def bench_banded_train_giant_quant(num_nodes=1 << 20, degree=38,
 
     quant_exp = importlib.import_module("benchmarks.quant_experiments")
     from connectome_gnn_tpu.models import BandedNodeGCN
-    from connectome_gnn_tpu.ops.banded import (
-        gcn_normalize_banded,
-        transpose_banded,
-    )
+    from connectome_gnn_tpu.ops.banded import gcn_normalize_banded
     from connectome_gnn_tpu.ops.banded_quant import (
         QuantizedBandedMatrixFM,
         quantize_band,
         to_feature_major,
+        transpose_quantized,
     )
 
     a, E = quant_exp.build_band(num_nodes, degree, band_nodes, block)
@@ -933,13 +931,15 @@ def bench_banded_train_giant_quant(num_nodes=1 << 20, degree=38,
     params, state = model.init(jax.random.PRNGKey(0))
     adj_norm, dinv = gcn_normalize_banded(a)
     a.band.delete()
-    # sequence the two quantizations to bound peak HBM: the transpose
-    # holds a second f32 band alive (~5.4 GB) until its int8 form exists
-    qT = to_feature_major(quantize_band(transpose_banded(adj_norm)))
-    _fetch(qT.scales)
-    q = to_feature_major(quantize_band(adj_norm))
-    _fetch(q.scales)
+    # quantize once, transpose the int8 band — peak HBM ~7 GB instead of
+    # ~16 (transposing the f32 band does not co-fit the normalized band)
+    q_row = quantize_band(adj_norm)
+    _fetch(q_row.scales)
     adj_norm.band.delete()
+    q = to_feature_major(q_row)
+    qT = to_feature_major(transpose_quantized(q_row))
+    _fetch(qT.scales)
+    q_row.band_q.delete()
 
     x = jax.random.normal(
         jax.random.PRNGKey(1), (num_nodes, feat), jnp.float32

@@ -34,6 +34,7 @@ from connectome_gnn_tpu.ops.banded_quant import (
     banded_spmm_quant_fm_grad,
     banded_spmm_quant_fm_w8a8,
     quantize_activations_fm,
+    transpose_quantized,
     banded_spmm_quant_xla,
     dequantize_band,
     hybrid_spmm_quant,
@@ -72,6 +73,7 @@ __all__ = [
     "banded_spmm_quant_fm_grad",
     "banded_spmm_quant_fm_w8a8",
     "quantize_activations_fm",
+    "transpose_quantized",
     "banded_spmm_quant_xla",
     "dequantize_band",
     "hybrid_spmm_quant",

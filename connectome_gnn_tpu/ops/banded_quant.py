@@ -458,16 +458,52 @@ def banded_spmm_quant_fm_w8a8(
     return outT[:, : q.num_nodes]
 
 
+def transpose_quantized(q: QuantizedBandedMatrix) -> QuantizedBandedMatrix:
+    """``Aᵀ`` of an already-quantized band, exactly.
+
+    Per-tile max-abs is transpose-invariant, so
+    ``quantize(transpose(A)) == transpose(quantize(A))`` bit-for-bit
+    (same scales on the moved tiles, tile contents transposed; shifted-in
+    zero rows keep the all-zero convention ``scale=1``).  Transposing the
+    int8 band instead of the f32 one cuts the peak HBM of training prep
+    ~4× (at 1M nodes: ~7 GB instead of ~16 GB — the f32 route's
+    stack+source transient does not fit a 16 GB chip alongside the
+    normalized band).  Same tile geometry as
+    :func:`~connectome_gnn_tpu.ops.banded.transpose_banded`.
+    """
+    W, blk = q.bandwidth, q.block
+    tiles_out, scales_out = [], []
+    for d in range(2 * W + 1):
+        shift = d - W  # source block row = cb + shift
+        tiles = jnp.swapaxes(q.band_q[:, 2 * W - d], 1, 2)
+        sc = q.scales[:, 2 * W - d]
+        if shift > 0:
+            tiles = jnp.concatenate(
+                [tiles[shift:], jnp.zeros((shift, blk, blk), tiles.dtype)]
+            )
+            sc = jnp.concatenate([sc[shift:], jnp.ones((shift,), sc.dtype)])
+        elif shift < 0:
+            tiles = jnp.concatenate(
+                [jnp.zeros((-shift, blk, blk), tiles.dtype), tiles[:shift]]
+            )
+            sc = jnp.concatenate([jnp.ones((-shift,), sc.dtype), sc[:shift]])
+        tiles_out.append(tiles)
+        scales_out.append(sc)
+    return QuantizedBandedMatrix(
+        jnp.stack(tiles_out, axis=1), jnp.stack(scales_out, axis=1),
+        q.num_nodes, q.bandwidth,
+    )
+
+
 def quantize_transposed_fm(band_norm) -> QuantizedBandedMatrixFM:
     """Feature-major quantization of ``Aᵀ`` — the backward operand of the
-    trainable quantized SpMM.  For a symmetric normalized adjacency
-    (undirected graphs through GCN sym-norm) the tile partners share
-    their max-abs, so the transposed quantization is exactly the
-    re-indexed forward one; for general bands the scales differ slightly
-    (same per-entry bound either way)."""
-    from connectome_gnn_tpu.ops.banded import transpose_banded
-
-    return to_feature_major(quantize_band(transpose_banded(band_norm)))
+    trainable quantized SpMM.  Computed as :func:`transpose_quantized` of
+    the int8 band (bitwise identical to quantizing the f32 transpose,
+    ~4× less peak HBM).  For a symmetric normalized adjacency
+    (undirected graphs through GCN sym-norm) this is exactly the
+    re-indexed forward quantization; for general bands the scales travel
+    with their tiles (same per-entry bound either way)."""
+    return to_feature_major(transpose_quantized(quantize_band(band_norm)))
 
 
 from functools import partial as _partial
