@@ -34,13 +34,12 @@ Usage: python benchmarks/fm_kernel_diag.py [--json] [--iters 10]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401 (used by callers/tests)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

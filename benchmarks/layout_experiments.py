@@ -84,13 +84,20 @@ def _time_layout(adj, x, num_nodes, iters):
         )
     if type(adj) is tuple:  # plain coo triple (NamedTuples are tuples too)
         s, r, w = adj
+        chunk = (4 << 20) if s.shape[0] > (8 << 20) else None
         return chained_loop_time(
             lambda v, wv, sv, rv: coo_spmm(
-                wv, sv, rv, v, num_nodes, indices_are_sorted=True
+                wv, sv, rv, v, num_nodes, indices_are_sorted=True,
+                edge_chunk=chunk,
             ),
             x, iters, jnp.asarray(w), jnp.asarray(s), jnp.asarray(r),
         )
-    # hybrid
+    # hybrid; chunk giant remainders so the gather intermediate fits HBM
+    chunk = (
+        (4 << 20)
+        if int(adj.remainder_weights.shape[0]) > (8 << 20)
+        else None
+    )
     return chained_loop_time(
         lambda v, band, rs, rr, rw: hybrid_spmm(
             adj._replace(
@@ -98,7 +105,7 @@ def _time_layout(adj, x, num_nodes, iters):
                 remainder_senders=rs, remainder_receivers=rr,
                 remainder_weights=rw,
             ),
-            v,
+            v, remainder_chunk=chunk,
         ),
         x, iters,
         adj.band.band, adj.remainder_senders, adj.remainder_receivers,
@@ -158,9 +165,17 @@ def run_case(
         out = coo_spmm(
             jnp.asarray(adj[2]), jnp.asarray(adj[0]), jnp.asarray(adj[1]),
             x_perm, num_nodes, indices_are_sorted=True,
+            edge_chunk=(4 << 20) if adj[0].shape[0] > (8 << 20) else None,
         )
     else:
-        out = hybrid_spmm(adj, x_perm)
+        out = hybrid_spmm(
+            adj, x_perm,
+            remainder_chunk=(
+                (4 << 20)
+                if int(adj.remainder_weights.shape[0]) > (8 << 20)
+                else None
+            ),
+        )
     # host-side chunked oracle (a one-pass device coo_spmm at 40M edges
     # materializes the 10 GB gathered-messages tensor and OOMs the chip)
     xh = np.asarray(x)

@@ -75,6 +75,30 @@ def _rcm_numpy(
     return np.asarray(result[::-1], np.int64)
 
 
+def _lobpcg_fiedler(adj, x0, *, tol: float, maxiter: int) -> np.ndarray:
+    """Fiedler vector of ``adj``'s Laplacian via LOBPCG (Jacobi
+    preconditioner, constant vector constrained out), unit variance."""
+    import warnings
+
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import lobpcg
+
+    n = adj.shape[0]
+    deg = np.asarray(adj.sum(axis=1)).ravel()
+    lap = sp.diags(deg) - adj
+    ones = np.ones((n, 1)) / np.sqrt(n)
+    m_inv = sp.diags(1.0 / np.maximum(deg, 1e-12))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, vec = lobpcg(
+            lap, x0, M=m_inv, Y=ones, tol=tol, maxiter=maxiter,
+            largest=False,
+        )
+    v = vec[:, 0]
+    return v / max(float(v.std()), 1e-30)
+
+
+
 def spectral_ordering(
     edge_index: np.ndarray,
     num_nodes: int,
@@ -109,13 +133,24 @@ def spectral_ordering(
     pick the cost-model argmin instead of trusting the last iterate.
 
     Eigensolves run per connected component with LOBPCG (Jacobi
-    preconditioner, constant vector constrained out).
+    preconditioner, constant vector constrained out).  The solver is
+    DELIBERATELY a flat, bounded-iteration LOBPCG — a retired design
+    note, because the obvious upgrade is a trap: a multilevel V-cycle
+    (heavy-edge coarsen → dense coarse solve → prolong+refine) was built
+    and measured WORSE on small-world graphs, twice over.  First, exact
+    eigen-convergence is counterproductive here: the true fine-level
+    Fiedler vector of an expander carries no geometry, while the
+    UNDER-converged flat iterate keeps a low-frequency mix that is
+    exactly the signal the reweighting amplifies (measured: better
+    eigensolver → ordering degraded from 0.25 to 0.6-0.9 out-of-band at
+    262k).  Second, heavy-edge coarsening cannot distinguish shortcuts
+    from band edges (identical weight distributions), so every level
+    merges across shortcuts and scrambles the latent geometry before
+    the solve even starts (measured: coarse-level IRLS stuck at ~0.55
+    where the same-size ORIGINAL graph reaches ~0.10).
     """
-    import warnings
-
     import scipy.sparse as sp
     from scipy.sparse.csgraph import connected_components
-    from scipy.sparse.linalg import lobpcg
 
     src = np.concatenate([edge_index[0], edge_index[1]]).astype(np.int64)
     dst = np.concatenate([edge_index[1], edge_index[0]]).astype(np.int64)
@@ -142,29 +177,18 @@ def spectral_ordering(
                 key[nodes] = np.arange(nodes.size)
                 continue
             sub = adj[nodes][:, nodes].tocsr()
-            deg = np.asarray(sub.sum(axis=1)).ravel()
-            lap = sp.diags(deg) - sub
             x0 = (
                 warm[nodes][:, None]
                 if warm is not None
                 else rng.standard_normal((nodes.size, 1))
             )
-            ones = np.ones((nodes.size, 1)) / np.sqrt(nodes.size)
-            m_inv = sp.diags(1.0 / np.maximum(deg, 1e-12))
             try:
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore")
-                    _, vec = lobpcg(
-                        lap, x0, M=m_inv, Y=ones, tol=tol, maxiter=maxiter,
-                        largest=False,
-                    )
-                v = vec[:, 0]
-                # unit variance per component: stretches comparable across
-                # components and IRLS rounds
-                v = v / max(float(v.std()), 1e-30)
-                key[nodes] = v
+                key[nodes] = _lobpcg_fiedler(
+                    sub, x0, tol=tol, maxiter=maxiter
+                )
             except Exception:
-                # LOBPCG breakdown (degenerate component): keep input order
+                # eigensolver breakdown (degenerate component): keep
+                # input order
                 key[nodes] = np.arange(nodes.size)
         return key
 

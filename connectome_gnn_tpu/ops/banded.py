@@ -364,8 +364,16 @@ def hybrid_block_diag(parts) -> tuple["HybridMatrix", jnp.ndarray]:
     )
 
 
-def hybrid_spmm(a: HybridMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """``A @ x`` for the hybrid form: banded MXU bulk + scatter remainder."""
+def hybrid_spmm(
+    a: HybridMatrix, x: jnp.ndarray, *, remainder_chunk: int | None = None
+) -> jnp.ndarray:
+    """``A @ x`` for the hybrid form: banded MXU bulk + scatter remainder.
+
+    ``remainder_chunk`` bounds device memory when the remainder is giant
+    (XLA materializes the gathered messages; see
+    :func:`~connectome_gnn_tpu.ops.segment.coo_spmm`) — pass e.g.
+    ``4 << 20`` for multi-ten-million-edge remainders on a 16 GB chip.
+    """
     from connectome_gnn_tpu.ops.segment import coo_spmm
 
     out = banded_spmm(a.band, x)
@@ -376,6 +384,7 @@ def hybrid_spmm(a: HybridMatrix, x: jnp.ndarray) -> jnp.ndarray:
         x[: a.num_nodes],
         a.num_nodes,
         indices_are_sorted=True,
+        edge_chunk=remainder_chunk,
     )
     return out + rem
 

@@ -89,6 +89,7 @@ def coo_spmm(
     num_nodes: int,
     *,
     indices_are_sorted: bool = True,
+    edge_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Sparse-matrix × dense-matrix product in COO form.
 
@@ -96,11 +97,49 @@ def coo_spmm(
     — the gather→scale→segment-sum sequence that is the heart of both GCN
     aggregation (models.py:112-113) and SAGE neighbour sums (models.py:146-149).
     Padded edges must carry ``values == 0``.
+
+    ``edge_chunk`` bounds device memory for GIANT edge lists: XLA
+    materializes the gathered messages (``E·F·4`` bytes — 10 GB at 40M
+    edges / F=64, past a 16 GB chip), so above the chunk size the edge
+    list is processed in fixed-size slices scatter-added into the output
+    carry.  The op is random-row latency bound (~13 ns/edge), so
+    chunking costs nothing measurable; f32 accumulation order changes
+    (same tolerance class as any resharding).  Edges are zero-padded up
+    to a chunk multiple — inert by the ``values == 0`` padding contract.
     """
-    messages = features[senders] * values[:, None]
-    return segment_sum(
-        messages, receivers, num_nodes, indices_are_sorted=indices_are_sorted
+    E = values.shape[0]
+    if edge_chunk is None or E <= int(edge_chunk):
+        messages = features[senders] * values[:, None]
+        return segment_sum(
+            messages, receivers, num_nodes,
+            indices_are_sorted=indices_are_sorted,
+        )
+
+    chunk = int(edge_chunk)
+    pad = (-E) % chunk
+    if pad:
+        values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
+        senders = jnp.concatenate(
+            [senders, jnp.zeros((pad,), senders.dtype)]
+        )
+        receivers = jnp.concatenate(
+            [receivers, jnp.full((pad,), num_nodes, receivers.dtype)]
+        )
+    num_chunks = (E + pad) // chunk
+
+    def body(i, out):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        msgs = features[sl(senders)] * sl(values)[:, None]
+        # extra row absorbs padding / out-of-range ids, dropped at the end
+        return out.at[jnp.minimum(sl(receivers), num_nodes)].add(
+            msgs, indices_are_sorted=indices_are_sorted, mode="drop"
+        )
+
+    out = jax.lax.fori_loop(
+        0, num_chunks, body,
+        jnp.zeros((num_nodes + 1, features.shape[1]), features.dtype),
     )
+    return out[:num_nodes]
 
 
 def sddmm(
