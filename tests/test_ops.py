@@ -66,6 +66,39 @@ class TestSegmentOps:
             A[r, s] += wi
         assert np.allclose(out, A @ x, atol=1e-4)
 
+    def test_coo_spmm_chunked_matches_unchunked(self):
+        """edge_chunk bounds the gathered-messages intermediate for giant
+        edge lists; values must match the one-shot path (f32 accumulation
+        order differs) — including with a non-divisor chunk (zero-padded
+        tail), out-of-range padding ids, and jit."""
+        import jax
+
+        rng = np.random.default_rng(4)
+        n, e, f = 64, 999, 8
+        senders = rng.integers(0, n, size=e).astype(np.int32)
+        receivers = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+        w = rng.random(e).astype(np.float32)
+        # padding tail: ids one-past-the-end with zero weight (the
+        # batch/hybrid convention) must stay inert under chunking
+        senders[-7:] = n
+        receivers[-7:] = n
+        w[-7:] = 0.0
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        want = coo_spmm(
+            jnp.asarray(w), jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(x), n,
+        )
+        for chunk in (128, 250, e, 2 * e):
+            got = jax.jit(
+                lambda wv, sv, rv, xv, c=chunk: coo_spmm(
+                    wv, sv, rv, xv, n, edge_chunk=c
+                )
+            )(
+                jnp.asarray(w), jnp.asarray(senders),
+                jnp.asarray(receivers), jnp.asarray(x),
+            )
+            assert np.allclose(got, want, atol=1e-4), chunk
+
 
 class TestGCNNormalize:
     def test_matches_dense_formula(self):
