@@ -24,8 +24,10 @@ this is north-star scope.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Iterator, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -141,6 +143,66 @@ def collate_sampled(
         label_mask=jnp.asarray(label_mask),
         seed_mask=jnp.asarray(seed_mask),
         node_ids=jnp.asarray(ids),
+        num_seeds=int(num_seeds),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("node_budget", "edge_budget", "num_seeds", "labeled"),
+)
+def _build_sampled_batch(
+    feat_tab: jnp.ndarray,
+    ints: jnp.ndarray,
+    weights: jnp.ndarray,
+    *,
+    node_budget: int,
+    edge_budget: int,
+    num_seeds: int,
+    labeled: bool,
+) -> SampledNodeBatch:
+    """Unpack the single-transfer ingest buffer into a batch, ON DEVICE.
+
+    ``ints`` (int32) is ``[n_nodes, real_seeds, node_ids(node_budget),
+    senders(edge_budget), receivers(edge_budget), labels(num_seeds)]`` —
+    the fused native collate writes straight into slices of it, so one
+    int32 array and one float32 array cross the host→device link per
+    sampled step instead of nine (at 1M nodes the per-array transfer
+    latency plus shipping gathered features dominated the step; see
+    ``benchmarks/profile_sampled.py``).  Node features never cross at
+    all: they are gathered here from the device-resident giant-graph
+    feature table (padding ids are -1 → clipped to row 0 and zeroed by
+    the mask, matching the host collate's zero-fill bitwise).
+    """
+    n_nodes, real_seeds = ints[0], ints[1]
+    o = 2
+    ids = ints[o : o + node_budget]
+    o += node_budget
+    senders = ints[o : o + edge_budget]
+    o += edge_budget
+    receivers = ints[o : o + edge_budget]
+    o += edge_budget
+    labels = ints[o : o + num_seeds]
+
+    node_mask = jnp.arange(node_budget, dtype=jnp.int32) < n_nodes
+    x = jnp.where(
+        node_mask[:, None],
+        feat_tab[jnp.clip(ids, 0, feat_tab.shape[0] - 1)],
+        jnp.zeros((), feat_tab.dtype),
+    )
+    seed_mask = jnp.arange(num_seeds, dtype=jnp.int32) < real_seeds
+    label_mask = seed_mask if labeled else jnp.zeros(num_seeds, bool)
+    labels = jnp.where(label_mask, labels, 0)
+    return SampledNodeBatch(
+        node_features=x,
+        senders=senders,
+        receivers=receivers,
+        edge_weight=weights,
+        node_mask=node_mask,
+        labels=labels,
+        label_mask=label_mask,
+        seed_mask=seed_mask,
+        node_ids=ids,
         num_seeds=int(num_seeds),
     )
 
@@ -261,6 +323,17 @@ class SampledNodeLoader:
         ``batch_size / num_shards`` seeds, each fanout-sampled
         independently) for ``shard_map`` data parallelism — the
         distributed half of BASELINE config 5.  Budgets apply per shard.
+    fused
+        Use the fused native sample→collate path (default: whenever the
+        native library is available): one C++ traversal with persistent
+        scratch writes the padded batch arrays into a single ingest
+        buffer, features are gathered on device from a resident table,
+        and only two arrays cross the host→device link per step.  Same
+        sampling stream as the classic path (identical subgraphs per
+        seed); only the intra-receiver edge order differs (draw order vs
+        global-edge-id order), which perturbs segment-sum accumulation
+        at the last ulp.  ``False`` forces the classic
+        ``NeighborSampler.sample`` + :func:`collate_sampled` pipeline.
     process_index / process_count
         Multi-process data sharding: with both set, each yielded batch
         stacks only this process's contiguous
@@ -290,6 +363,7 @@ class SampledNodeLoader:
         num_shards: Optional[int] = None,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        fused: Optional[bool] = None,
     ):
         self.graph = graph
         self.node_labels = (
@@ -352,6 +426,20 @@ class SampledNodeLoader:
         self.node_budget = round_up(int(node_budget), node_multiple)
         self.edge_budget = round_up(int(edge_budget), edge_multiple)
 
+        from connectome_gnn_tpu import native
+
+        self.fused = bool(native.AVAILABLE) if fused is None else bool(fused)
+        if self.fused and not native.AVAILABLE:
+            raise RuntimeError("fused=True requires the native library")
+        # device-resident feature table for the fused path's on-device
+        # gather (the giant graph's features are uploaded ONCE; per step
+        # only ids/edges cross the link)
+        self._feat_tab = (
+            jnp.asarray(graph.node_features, jnp.float32)
+            if self.fused
+            else None
+        )
+
     def __len__(self) -> int:
         n = len(self.seeds)
         if self.drop_last:
@@ -363,9 +451,47 @@ class SampledNodeLoader:
         ``epoch`` (see ``ConnectomeDataLoader.set_epoch``)."""
         self._epoch = int(epoch)
 
+    def _sample_and_collate_fused(
+        self, chunk: np.ndarray, sample_seed: int, num_seeds: int
+    ) -> SampledNodeBatch:
+        """One native traversal → single-transfer ingest buffer →
+        on-device unpack/gather (see :func:`_build_sampled_batch`)."""
+        nb, eb = self.node_budget, self.edge_budget
+        ints = np.empty(2 + nb + 2 * eb + num_seeds, np.int32)
+        weights = np.empty(eb, np.float32)
+        ids = ints[2 : 2 + nb]
+        senders = ints[2 + nb : 2 + nb + eb]
+        receivers = ints[2 + nb + eb : 2 + nb + 2 * eb]
+        labels = ints[2 + nb + 2 * eb :]
+        if len(chunk) == 0:
+            n_nodes = 0
+            ids.fill(-1)
+            senders.fill(nb - 1)
+            receivers.fill(nb - 1)
+            weights.fill(0.0)
+        else:
+            n_nodes, _ = self._sampler.sample_collate_into(
+                chunk, self.fanout, sample_seed,
+                node_budget=nb, edge_budget=eb,
+                out_senders=senders, out_receivers=receivers,
+                out_weights=weights, out_node_ids=ids,
+            )
+        ints[0] = n_nodes
+        ints[1] = len(chunk)
+        labels.fill(0)
+        if self.node_labels is not None and len(chunk):
+            labels[: len(chunk)] = self.node_labels[chunk]
+        return _build_sampled_batch(
+            self._feat_tab, jnp.asarray(ints), jnp.asarray(weights),
+            node_budget=nb, edge_budget=eb, num_seeds=num_seeds,
+            labeled=self.node_labels is not None,
+        )
+
     def _sample_and_collate(
         self, chunk: np.ndarray, sample_seed: int, num_seeds: int
     ) -> SampledNodeBatch:
+        if self.fused:
+            return self._sample_and_collate_fused(chunk, sample_seed, num_seeds)
         if len(chunk) == 0:
             # empty shard slot on a final partial step: all-padding batch
             sub = ConnectomeGraph(

@@ -138,6 +138,17 @@ class NeighborSampler:
         self.graph = graph
         self._src = graph.edge_index[0].astype(np.int64)
         self._order, self._starts, self._ends = _in_edge_index(graph)
+        self._weights = np.ascontiguousarray(graph.edge_weight, np.float32)
+        self._handle = None  # lazy persistent fused-sampler scratch
+
+    def __del__(self):
+        try:
+            if self._handle:
+                from connectome_gnn_tpu import native
+
+                native.sampler_free(self._handle)
+        except Exception:
+            pass
 
     def sample(
         self, seed_nodes: Sequence[int], fanout: Sequence[int], seed: int = 0
@@ -169,6 +180,51 @@ class NeighborSampler:
             subject_id=f"{graph.subject_id}-sub{len(node_ids)}",
         )
         return subgraph, node_ids
+
+
+    def sample_collate_into(
+        self,
+        seed_nodes: np.ndarray,
+        fanout: Sequence[int],
+        seed: int,
+        *,
+        node_budget: int,
+        edge_budget: int,
+        out_senders: np.ndarray,
+        out_receivers: np.ndarray,
+        out_weights: np.ndarray,
+        out_node_ids: np.ndarray,
+    ) -> tuple[int, int]:
+        """Fused sample → padded collate arrays, written in place.
+
+        One native traversal emits the locally-relabeled, receiver-sorted,
+        budget-padded ``senders/receivers/weights/node_ids`` a
+        :class:`~connectome_gnn_tpu.data.sampled.SampledNodeBatch` wants —
+        the per-step producer for giant-graph sampled training (the
+        classic ``sample`` + host ``collate_sampled`` pipeline costs
+        O(num_nodes) per step in relabel maps alone; this path scales
+        with the sample).  Same splitmix64 stream as :meth:`sample`: the
+        sampled subgraph is identical for identical ``seed`` (only the
+        intra-receiver edge order differs from the classic collate, which
+        sub-sorts by global edge id).  Requires the native library;
+        callers dispatch on ``native.AVAILABLE``.  Not thread-safe per
+        sampler instance (the handle's scratch is reused across calls).
+        """
+        from connectome_gnn_tpu import native
+
+        if not native.AVAILABLE:
+            raise RuntimeError("native library unavailable")
+        if self._handle is None:
+            self._handle = native.sampler_new(self.graph.num_nodes)
+        seeds = np.ascontiguousarray(seed_nodes, np.int64)
+        return native.sampler_sample_collate(
+            self._handle,
+            self._order, self._starts, self._ends, self._src,
+            self._weights,
+            seeds, np.asarray(fanout, np.int64), seed,
+            node_budget, edge_budget,
+            out_senders, out_receivers, out_weights, out_node_ids,
+        )
 
 
 def sample_subgraph_fast(

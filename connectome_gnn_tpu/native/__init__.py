@@ -75,6 +75,18 @@ def _build_and_load() -> ctypes.CDLL:
         ctypes.c_uint64, p_i64, p_i64, p_i64, p_i64,
     ]
     lib.cgt_sample_subgraph.restype = c_i64
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.cgt_sampler_new.argtypes = [c_i64]
+    lib.cgt_sampler_new.restype = ctypes.c_void_p
+    lib.cgt_sampler_free.argtypes = [ctypes.c_void_p]
+    lib.cgt_sampler_free.restype = None
+    lib.cgt_sampler_sample_collate.argtypes = [
+        ctypes.c_void_p, p_i64, p_i64, p_i64, p_i64, p_f32,  # index + weights
+        c_i64, p_i64, c_i64, p_i64, ctypes.c_uint64,         # seeds, fanout
+        c_i64, c_i64,                                        # budgets
+        p_i32, p_i32, p_f32, p_i32, p_i64, p_i64,            # outputs
+    ]
+    lib.cgt_sampler_sample_collate.restype = c_i64
     return lib
 
 
@@ -196,6 +208,79 @@ def sample_subgraph(
     if rc == 2:
         raise ValueError("edge sender id out of range (corrupt edge_index)")
     return out_nodes[: n_nodes[0]].copy(), out_edges[: n_edges[0]].copy()
+
+
+_SAMPLE_COLLATE_ERRORS = {
+    1: "seed node out of range",
+    2: "edge sender id out of range (corrupt edge_index)",
+    5: "duplicate seed node",
+}
+
+
+def sampler_new(num_nodes: int) -> int:
+    """Allocate a persistent fused-sampler handle (``visited`` scratch
+    lives across calls — per-sample cost scales with the sample, not the
+    graph).  NOT thread-safe: one handle per producer thread."""
+    return _lib.cgt_sampler_new(int(num_nodes))
+
+
+def sampler_free(handle: int) -> None:
+    """Release a :func:`sampler_new` handle."""
+    if handle:
+        _lib.cgt_sampler_free(handle)
+
+
+def sampler_sample_collate(
+    handle: int,
+    order: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    src: np.ndarray,
+    edge_weight: np.ndarray,
+    seeds: np.ndarray,
+    fanout: np.ndarray,
+    rng_seed: int,
+    node_budget: int,
+    edge_budget: int,
+    out_senders: np.ndarray,
+    out_receivers: np.ndarray,
+    out_weights: np.ndarray,
+    out_node_ids: np.ndarray,
+) -> tuple[int, int]:
+    """Fused k-hop sample + collate into caller-provided padded buffers.
+
+    Writes locally-relabeled, receiver-sorted edges (draws from the same
+    splitmix64 stream as :func:`sample_subgraph` — identical sampled
+    subgraph for the same ``rng_seed``), inert padding (edges →
+    ``node_budget-1`` / weight 0, node ids → -1), and returns
+    ``(n_nodes, n_edges)``.  Output buffers may be views into one larger
+    contiguous array (the single-transfer ingest layout).
+    """
+    n_nodes = np.zeros(1, np.int64)
+    n_edges = np.zeros(1, np.int64)
+    rc = _lib.cgt_sampler_sample_collate(
+        handle,
+        np.ascontiguousarray(order, np.int64),
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(ends, np.int64),
+        np.ascontiguousarray(src, np.int64),
+        np.ascontiguousarray(edge_weight, np.float32),
+        seeds.shape[0], np.ascontiguousarray(seeds, np.int64),
+        len(fanout), np.ascontiguousarray(fanout, np.int64),
+        int(rng_seed) & 0xFFFFFFFFFFFFFFFF,
+        int(node_budget), int(edge_budget),
+        out_senders, out_receivers, out_weights, out_node_ids,
+        n_nodes, n_edges,
+    )
+    if rc == 3:
+        raise ValueError(
+            f"sampled > node_budget {node_budget} nodes"
+        )
+    if rc == 4:
+        raise ValueError(f"sampled > edge_budget {edge_budget} edges")
+    if rc:
+        raise ValueError(_SAMPLE_COLLATE_ERRORS.get(int(rc), f"error {rc}"))
+    return int(n_nodes[0]), int(n_edges[0])
 
 
 def dense_pack(

@@ -197,4 +197,118 @@ extern "C" int64_t cgt_sample_subgraph(
   return 0;
 }
 
+// ---- Fused sampling + collate ---------------------------------------
+//
+// Per-step minibatch production for giant-graph sampled training is
+// host-bound (measured at 1M nodes: ~9 ms in cgt_sample_subgraph — mostly
+// the O(num_nodes) visited init — plus ~13 ms of Python-side relabeling
+// through a fresh num_nodes-sized map, per step).  This kernel keeps the
+// visited scratch alive across calls in a handle (reset cost = touched
+// nodes only) and emits the padded, locally-relabeled, receiver-sorted
+// arrays the static-shape batch wants in ONE traversal — per-call cost
+// scales with the sample, not the graph.
+//
+// Emission order: nodes get local ids in discovery order (seeds first);
+// each hop expands the frontier in increasing local-id order, so edges
+// come out grouped by receiver with receiver ids ascending — exactly the
+// receiver-sorted layout segment_sum's indices_are_sorted wants.  (Within
+// one receiver, edges are in draw order rather than global-edge-id order;
+// the per-receiver edge SET matches cgt_sample_subgraph bit-for-bit for
+// the same rng_seed, since the traversal and splitmix64 stream are
+// identical.)
+//
+// Return codes: 0 ok, 1 seed out of range, 2 corrupt sender id,
+// 3 node budget exceeded, 4 edge budget exceeded, 5 duplicate seed.
+
+struct CgtSampler {
+  std::vector<int32_t> visited;  // -1 or local id; reset after every call
+  std::vector<int32_t> frontier, next_frontier;
+  std::vector<int64_t> scratch;
+  explicit CgtSampler(int64_t n) : visited(static_cast<size_t>(n), -1) {}
+};
+
+void* cgt_sampler_new(int64_t num_nodes) {
+  return new CgtSampler(num_nodes);
+}
+
+void cgt_sampler_free(void* handle) {
+  delete static_cast<CgtSampler*>(handle);
+}
+
+int64_t cgt_sampler_sample_collate(
+    void* handle, const int64_t* order, const int64_t* starts,
+    const int64_t* ends, const int64_t* src, const float* edge_weight,
+    int64_t num_seeds, const int64_t* seeds, int64_t num_hops,
+    const int64_t* fanout, uint64_t rng_seed, int64_t node_budget,
+    int64_t edge_budget, int32_t* out_senders, int32_t* out_receivers,
+    float* out_weights, int32_t* out_node_ids, int64_t* out_n_nodes,
+    int64_t* out_n_edges) {
+  CgtSampler& S = *static_cast<CgtSampler*>(handle);
+  const int64_t num_nodes = static_cast<int64_t>(S.visited.size());
+  int64_t n_nodes = 0, n_edges = 0, rc = 0;
+
+  S.frontier.clear();
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    const int64_t s = seeds[i];
+    if (s < 0 || s >= num_nodes) { rc = 1; goto done; }
+    if (S.visited[s] >= 0) { rc = 5; goto done; }
+    if (n_nodes >= node_budget) { rc = 3; goto done; }
+    S.visited[s] = static_cast<int32_t>(n_nodes);
+    out_node_ids[n_nodes++] = static_cast<int32_t>(s);
+    S.frontier.push_back(static_cast<int32_t>(s));
+  }
+
+  {
+    uint64_t rng = rng_seed ^ 0xD1B54A32D192ED03ull;
+    for (int64_t hop = 0; hop < num_hops && !S.frontier.empty(); ++hop) {
+      const int64_t f = fanout[hop];
+      S.next_frontier.clear();
+      for (int32_t node : S.frontier) {
+        const int64_t lo = starts[node], hi = ends[node];
+        const int64_t deg = hi - lo;
+        const int32_t r_local = S.visited[node];
+        S.scratch.assign(order + lo, order + hi);
+        const int64_t take = deg < f ? deg : f;
+        for (int64_t k = 0; k < take; ++k) {
+          const int64_t j =
+              k + static_cast<int64_t>(splitmix64(&rng) %
+                                       static_cast<uint64_t>(deg - k));
+          std::swap(S.scratch[k], S.scratch[j]);
+          const int64_t e = S.scratch[k];
+          const int64_t nbr = src[e];
+          if (nbr < 0 || nbr >= num_nodes) { rc = 2; goto done; }
+          if (S.visited[nbr] < 0) {
+            if (n_nodes >= node_budget) { rc = 3; goto done; }
+            S.visited[nbr] = static_cast<int32_t>(n_nodes);
+            out_node_ids[n_nodes++] = static_cast<int32_t>(nbr);
+            S.next_frontier.push_back(static_cast<int32_t>(nbr));
+          }
+          if (n_edges >= edge_budget) { rc = 4; goto done; }
+          out_senders[n_edges] = S.visited[nbr];
+          out_receivers[n_edges] = r_local;
+          out_weights[n_edges] = edge_weight[e];
+          ++n_edges;
+        }
+      }
+      S.frontier.swap(S.next_frontier);
+    }
+
+    // padding: edges target the last node slot with weight 0 (inert and
+    // receiver-sorted since node_budget-1 >= any real local id)
+    for (int64_t i = n_edges; i < edge_budget; ++i) {
+      out_senders[i] = static_cast<int32_t>(node_budget - 1);
+      out_receivers[i] = static_cast<int32_t>(node_budget - 1);
+      out_weights[i] = 0.0f;
+    }
+    for (int64_t i = n_nodes; i < node_budget; ++i) out_node_ids[i] = -1;
+  }
+
+done:
+  // touched-only reset — the handle's reuse contract
+  for (int64_t i = 0; i < n_nodes; ++i) S.visited[out_node_ids[i]] = -1;
+  *out_n_nodes = n_nodes;
+  *out_n_edges = n_edges;
+  return rc;
+}
+
 }  // extern "C"
