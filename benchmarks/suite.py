@@ -1091,6 +1091,77 @@ def bench_sampled_train(num_nodes=262_144, degree=16, batch=1024,
     return out
 
 
+def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
+                               fanout=(10, 10), steps=30):
+    """Config SD: end-to-end sampled training with DEVICE-SIDE sampling.
+
+    The graph (CSR + features) is resident in HBM
+    (`data/device_sampling.py`); per step only an ~8 KB SeedBatch crosses
+    the link, and sampling fuses into the jitted train step.  Same
+    protocol as config S (host work INCLUDED, epoch-level sync) — the
+    delta vs S is the measured cost of host-built batches on this
+    link-constrained runtime."""
+    import numpy as np
+
+    from connectome_gnn_tpu.data import DeviceSeedLoader, device_sampled_gcn
+    from connectome_gnn_tpu.train import Trainer
+
+    g, labels = _sampled_graph(num_nodes, degree)
+    model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    loader = DeviceSeedLoader(
+        np.arange(num_nodes), labels, batch_size=batch, seed=0,
+        drop_last=True,
+    )
+    trainer = Trainer(model, prefetch_depth=2)
+    it = trainer._iterate(loader)
+
+    def one(b):
+        (trainer.params, trainer.state, trainer.opt_state,
+         trainer._rng, loss, _, _) = trainer._train_step(
+            trainer.params, trainer.state, trainer.opt_state,
+            trainer._rng, b,
+        )
+        return loss
+
+    # real sampled-edge count: draw a few batches through the sampler
+    # alone (outside the timed loop) and count weight>0 edges
+    from connectome_gnn_tpu.data import device_sample
+    import jax as _jax
+
+    edges = 0.0
+    for k in range(3):
+        sb = next(iter(DeviceSeedLoader(
+            np.arange(num_nodes), labels, batch_size=batch, seed=k,
+            drop_last=True,
+        )))
+        s = device_sample(
+            model.csr, sb.seeds, _jax.random.wrap_key_data(sb.key_data),
+            fanout,
+        )
+        edges += _fetch((s.edge_weight > 0).sum())
+    edges /= 3.0
+
+    for _ in range(3):  # compile + warm
+        _fetch(one(next(it)))
+    steps = min(steps, num_nodes // batch - 4)
+    t0 = time.perf_counter()
+    loss = None
+    for _ in range(steps):
+        loss = one(next(it))
+    _fetch(loss)
+    dt = (time.perf_counter() - t0) / steps
+    if hasattr(it, "close"):
+        it.close()
+    return {
+        "ms_per_step": dt * 1e3,
+        "steps_per_s": 1.0 / dt,
+        "seed_nodes_per_s": batch / dt,
+        "sampled_edges_per_s": edges / dt,
+        "avg_sampled_edges": edges,
+        "num_nodes": num_nodes,
+    }
+
+
 def bench_sampled_train_giant(steps=30):
     """Config S2: end-to-end sampled training ON the full north-star
     graph — 1M nodes / ~44M edges (spatial + 10% shortcuts), 1024 seeds
@@ -1147,6 +1218,14 @@ BENCHES = {
           "transfer+step, prefetch overlap), 262k-node graph, 1024 seeds/"
           "step, fanout 10x10",
           bench_sampled_train),
+    "SD": ("sampled training END-TO-END with DEVICE-SIDE sampling "
+           "(graph resident in HBM, ~8KB SeedBatch/step), 262k-node graph, "
+           "1024 seeds/step, fanout 10x10",
+           bench_device_sampled_train),
+    "SD2": ("device-side sampled training on the FULL north-star graph, "
+            "1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
+            lambda: bench_device_sampled_train(
+                num_nodes=1 << 20, degree=38)),
     "S2": ("sampled-minibatch training END-TO-END on the FULL north-star "
            "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
            bench_sampled_train_giant),
@@ -1163,7 +1242,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SD2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

@@ -3,6 +3,15 @@
 from connectome_gnn_tpu.data.atlas import NUM_REGIONS, REGION_NAMES
 from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round_up, to_device
 from connectome_gnn_tpu.data.dense import DenseConnectomeBatch, collate_dense
+from connectome_gnn_tpu.data.device_sampling import (
+    DeviceGraphCSR,
+    DeviceSampledModel,
+    DeviceSeedLoader,
+    SeedBatch,
+    device_sample,
+    device_sampled_gcn,
+    make_seed_batch,
+)
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
 from connectome_gnn_tpu.data.layout import (
@@ -41,6 +50,13 @@ __all__ = [
     "ConnectomeGraph",
     "ConnectomeDataLoader",
     "DenseConnectomeBatch",
+    "DeviceGraphCSR",
+    "DeviceSampledModel",
+    "DeviceSeedLoader",
+    "SeedBatch",
+    "device_sample",
+    "device_sampled_gcn",
+    "make_seed_batch",
     "LayoutPlan",
     "PrefetchIterator",
     "PrefetchLoader",

@@ -1,0 +1,422 @@
+"""Device-side neighbor sampling: the giant graph lives in HBM and every
+step's fanout sample is drawn INSIDE the jitted program.
+
+Why this exists: the honest end-to-end sampled-training bench is bound by
+the host→device link, not by compute — on this rig the tunnel moves
+~80 MB/s with ~10 ms latency, so the ~1.8 MB/step a host-built batch
+costs ~24 ms before the TPU does anything (measured in
+``benchmarks/profile_sampled.py`` and the dispatch/transfer microbench;
+SUITE_r03.json config S).  The TPU-native answer is to stop shipping
+batches: the CSR adjacency, features, and weights are uploaded ONCE
+(:class:`DeviceGraphCSR`, ~0.4 GB at 1M nodes / 44M edges), and each
+training step receives only a ~8 KB :class:`SeedBatch` (seed ids + PRNG
+key + labels, packed into a single int32 buffer = one transfer, one
+dispatch).  Sampling, dedup, relabeling, feature gather, and the train
+step all fuse into one XLA program.
+
+Sampling semantics match the host samplers (``data/sampling.py``):
+GraphSAGE-style hop expansion over in-edges, up to ``fanout[h]`` sampled
+in-neighbors per frontier node, uniform WITHOUT replacement (here via
+Gumbel-style top-k over masked uniforms — taking the top-f of iid
+uniforms over a node's edge slots is exactly a uniform f-subset), seeds
+first.  Node discovery order differs from the host traversal (per hop,
+new nodes are appended in ascending global id rather than draw order) and
+the PRNG stream is ``jax.random``, not splitmix64 — so device and host
+samples are distributionally equal but not bitwise.  With ``fanout[h] >=
+max_in_degree`` both keep EVERY in-edge, and the resulting model outputs
+must agree exactly — that keep-all oracle is the equivalence test
+(``tests/test_device_sampling.py``).
+
+Static shapes throughout: frontier/edge buffers are the no-dedup fanout
+worst case, so the whole train step compiles once.  Receiver-sortedness
+(which ``segment_sum(indices_are_sorted=True)`` relies on) holds by
+construction: local ids are assigned in emission order and each hop
+expands its frontier in ascending local id; invalid draw slots become
+weight-0 self-edges on a forward-filled receiver, keeping the index
+monotone and the padding inert.
+
+The reference has no sampling or device residency at all (SURVEY §0);
+this scales the scatter aggregation of
+`/root/reference/connectome_gnn/models.py:45-54` to graphs that cannot
+leave the device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from connectome_gnn_tpu.data.graph import ConnectomeGraph
+from connectome_gnn_tpu.data.sampled import SampledNodeBatch, fanout_budgets
+from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class DeviceGraphCSR:
+    """Receiver-grouped CSR adjacency resident on device.
+
+    ``senders[indptr[v] : indptr[v+1]]`` are the in-neighbors of ``v``
+    (edge weights aligned).  ``max_in_degree`` bounds the per-node
+    uniform-draw buffer (static).
+    """
+
+    indptr: jnp.ndarray  # int32 [N+1]
+    senders: jnp.ndarray  # int32 [E], grouped by receiver
+    edge_weight: jnp.ndarray  # float32 [E]
+    node_features: jnp.ndarray  # float32 [N, F]
+    max_in_degree: int = static_field(default=0)
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.indptr.shape[0]) - 1
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.senders.shape[0])
+
+    @classmethod
+    def from_graph(cls, graph: ConnectomeGraph) -> "DeviceGraphCSR":
+        """One-time host prep (receiver sort) + upload."""
+        src, dst = graph.edge_index
+        order = np.argsort(dst, kind="stable")
+        dst_sorted = dst[order]
+        counts = np.bincount(dst_sorted, minlength=graph.num_nodes)
+        indptr = np.zeros(graph.num_nodes + 1, np.int32)
+        np.cumsum(counts, out=indptr[1:])
+        return cls(
+            indptr=jnp.asarray(indptr),
+            senders=jnp.asarray(src[order].astype(np.int32)),
+            edge_weight=jnp.asarray(
+                graph.edge_weight[order].astype(np.float32)
+            ),
+            node_features=jnp.asarray(
+                graph.node_features.astype(np.float32)
+            ),
+            max_in_degree=int(counts.max()) if counts.size else 0,
+        )
+
+
+@pytree_dataclass
+class SeedBatch:
+    """One sampled-training step's host→device payload: a single int32
+    buffer ``[real_seeds, key_hi, key_lo, seeds(S), labels(S)]`` (~8 KB).
+
+    Seed slots beyond ``real_seeds`` carry -1.  Exposes the
+    ``labels`` / ``label_mask`` / ``graph_mask`` surface the standard
+    :class:`~connectome_gnn_tpu.train.Trainer` reads, so sampled
+    training through a :class:`DeviceSampledModel` drives it unchanged.
+    """
+
+    packed: jnp.ndarray  # int32 [3 + 2 * num_seeds]
+    num_seeds: int = static_field(default=0)
+    labeled: bool = static_field(default=True)
+
+    @property
+    def seeds(self) -> jnp.ndarray:
+        return self.packed[3 : 3 + self.num_seeds]
+
+    @property
+    def key_data(self) -> jnp.ndarray:
+        return jax.lax.bitcast_convert_type(self.packed[1:3], jnp.uint32)
+
+    @property
+    def seed_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.num_seeds, dtype=jnp.int32) < self.packed[0]
+
+    @property
+    def label_mask(self) -> jnp.ndarray:
+        if not self.labeled:
+            return jnp.zeros(self.num_seeds, bool)
+        return self.seed_mask
+
+    @property
+    def labels(self) -> jnp.ndarray:
+        raw = self.packed[3 + self.num_seeds : 3 + 2 * self.num_seeds]
+        return jnp.where(self.label_mask, raw, 0)
+
+    @property
+    def graph_mask(self) -> jnp.ndarray:
+        return self.seed_mask
+
+
+def make_seed_batch(
+    chunk: np.ndarray,
+    labels: Optional[np.ndarray],
+    sample_seed: int,
+    num_seeds: int,
+) -> SeedBatch:
+    """Host-side constructor (numpy fills + ONE jnp.asarray)."""
+    packed = np.empty(3 + 2 * num_seeds, np.int32)
+    packed[0] = len(chunk)
+    packed[1:3] = np.array([0, sample_seed], np.uint32).view(np.int32)
+    packed[3 : 3 + num_seeds] = -1
+    packed[3 : 3 + len(chunk)] = chunk
+    lab = packed[3 + num_seeds :]
+    lab[:] = 0
+    if labels is not None and len(chunk):
+        lab[: len(chunk)] = labels[chunk]
+    return SeedBatch(
+        packed=jnp.asarray(packed),
+        num_seeds=int(num_seeds),
+        labeled=labels is not None,
+    )
+
+
+def device_sample(
+    csr: DeviceGraphCSR,
+    seeds: jnp.ndarray,
+    key: jax.Array,
+    fanout: Sequence[int],
+) -> SampledNodeBatch:
+    """k-hop fanout sample as a pure jittable function (labels unset —
+    :class:`DeviceSampledModel` splices them from the :class:`SeedBatch`).
+
+    ``seeds``: int32 ``[S]``, -1 for padding slots (they keep their local
+    id so the head still reads ``x[:S]``, but have degree 0 and masked
+    features).
+    """
+    N = csr.num_nodes
+    E = csr.num_edges
+    S = int(seeds.shape[0])
+    fanout = tuple(int(f) for f in fanout)
+    node_budget, _ = fanout_budgets(S, fanout)
+    max_deg = max(csr.max_in_degree, max(fanout) if fanout else 1, 1)
+
+    i32 = jnp.int32
+    relabel = jnp.full(N, -1, i32)
+    svalid = seeds >= 0
+    relabel = relabel.at[jnp.where(svalid, seeds, N)].set(
+        jnp.arange(S, dtype=i32), mode="drop"
+    )
+    all_nodes = jnp.full(node_budget, -1, i32)
+    all_nodes = all_nodes.at[:S].set(jnp.where(svalid, seeds, -1))
+    n_sofar = jnp.asarray(S, i32)
+
+    frontier = jnp.where(svalid, seeds, -1)  # global ids, -1 invalid
+    frontier_local = jnp.arange(S, dtype=i32)  # ascending (incl. pads)
+
+    senders_parts, receivers_parts, weight_parts = [], [], []
+    for f in fanout:
+        key, sub = jax.random.split(key)
+        Fb = int(frontier.shape[0])
+        v = jnp.maximum(frontier, 0)
+        fvalid = frontier >= 0
+        deg = jnp.where(fvalid, csr.indptr[v + 1] - csr.indptr[v], 0)
+
+        # uniform f-subset per node: top-f of iid uniforms over its slots
+        u = jax.random.uniform(sub, (Fb, max_deg))
+        pos_ok = jnp.arange(max_deg, dtype=i32)[None, :] < deg[:, None]
+        scores = jnp.where(pos_ok, u, -1.0)
+        vals, pos = jax.lax.top_k(scores, min(f, max_deg))
+        evalid = vals >= 0.0  # [Fb, f]
+        eid = jnp.minimum(csr.indptr[v][:, None] + pos, E - 1)
+        snd = csr.senders[eid]  # [Fb, f] global sender ids
+        w = jnp.where(evalid, csr.edge_weight[eid], 0.0)
+
+        # receivers: this frontier's locals, broadcast per draw slot
+        rloc = jnp.broadcast_to(
+            frontier_local[:, None], evalid.shape
+        ).reshape(-1)
+        evalid_flat = evalid.reshape(-1)
+        cand = jnp.where(evalid_flat, snd.reshape(-1), N)  # N = sentinel
+
+        # within-hop dedup + new-node discovery (ascending global id)
+        known = jnp.where(
+            cand < N, relabel[jnp.minimum(cand, N - 1)] >= 0, True
+        )
+        fresh_sorted = jnp.sort(jnp.where(known, N, cand))
+        first = fresh_sorted < N
+        first = first & jnp.concatenate(
+            [jnp.ones(1, bool), fresh_sorted[1:] != fresh_sorted[:-1]]
+        )
+        prefix = jnp.cumsum(first.astype(i32))
+        loc_new = n_sofar + prefix - 1
+        relabel = relabel.at[jnp.where(first, fresh_sorted, N)].set(
+            loc_new, mode="drop"
+        )
+        all_nodes = all_nodes.at[
+            jnp.where(first, loc_new, node_budget)
+        ].set(fresh_sorted, mode="drop")
+        base = n_sofar  # fill value: > every previous receiver local
+        n_sofar = n_sofar + prefix[-1]
+
+        # sender locals (lookup AFTER the scatter so fresh ids resolve);
+        # invalid draws become weight-0 self-edges on the receiver slot
+        snd_loc = relabel[jnp.minimum(cand, N - 1)]
+        senders_parts.append(jnp.where(evalid_flat, snd_loc, rloc))
+        receivers_parts.append(rloc)
+        weight_parts.append(w.reshape(-1))
+
+        # next frontier: first-occurrences, ascending; locals forward-
+        # filled so the NEXT hop's receiver index stays monotone
+        frontier = jnp.where(first, fresh_sorted, -1)
+        ffl = jax.lax.cummax(jnp.where(first, loc_new, -1))
+        frontier_local = jnp.where(
+            ffl < 0, jnp.minimum(base, node_budget - 1), ffl
+        )
+
+    node_mask = all_nodes >= 0
+    x = jnp.where(
+        node_mask[:, None],
+        csr.node_features[jnp.clip(all_nodes, 0, N - 1)],
+        jnp.zeros((), csr.node_features.dtype),
+    )
+    zeros_s = jnp.zeros(S, i32)
+    return SampledNodeBatch(
+        node_features=x,
+        senders=jnp.concatenate(senders_parts)
+        if senders_parts
+        else jnp.zeros(0, i32),
+        receivers=jnp.concatenate(receivers_parts)
+        if receivers_parts
+        else jnp.zeros(0, i32),
+        edge_weight=jnp.concatenate(weight_parts)
+        if weight_parts
+        else jnp.zeros(0, jnp.float32),
+        node_mask=node_mask,
+        labels=zeros_s,
+        label_mask=zeros_s.astype(bool),
+        seed_mask=zeros_s.astype(bool),
+        node_ids=all_nodes,
+        num_seeds=S,
+    )
+
+
+class DeviceSeedLoader:
+    """Per-step :class:`SeedBatch` producer for device-side sampling.
+
+    Mirrors :class:`~connectome_gnn_tpu.data.sampled.SampledNodeLoader`'s
+    epoch semantics (epoch-pinned shuffle, per-(epoch, step) sampling
+    streams that advance even when ``shuffle=False``, ``set_epoch``
+    resume replay) but yields only seed payloads — the graph never
+    leaves the device, so there is nothing else to produce.  Host work
+    per step: one permutation slice + one ~8 KB packed buffer.
+    """
+
+    def __init__(
+        self,
+        seed_pool,
+        node_labels: Optional[np.ndarray] = None,
+        *,
+        batch_size: int = 512,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.seeds = np.asarray(seed_pool, np.int64)
+        self.node_labels = (
+            np.asarray(node_labels, np.int32)
+            if node_labels is not None
+            else None
+        )
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.drop_last = bool(drop_last)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.seeds)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __iter__(self):
+        from connectome_gnn_tpu.data.sampled import _sample_seed
+
+        seeds = self.seeds
+        epoch = self._epoch
+        self._epoch += 1
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            seeds = seeds[rng.permutation(len(seeds))]
+        for b, start in enumerate(range(0, len(seeds), self.batch_size)):
+            chunk = seeds[start : start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            yield make_seed_batch(
+                chunk,
+                self.node_labels,
+                _sample_seed(self.seed, epoch, b),
+                self.batch_size,
+            )
+
+
+class DeviceSampledModel:
+    """Wrap a node model so ``apply`` takes a :class:`SeedBatch` and
+    samples ON DEVICE before delegating — the whole step (sampling +
+    forward/backward) fuses into the Trainer's one jitted program.
+
+    The CSR arrays are jax Arrays captured by closure: JAX passes them to
+    the executable as constants (no re-upload, no recompile per step).
+    """
+
+    def __init__(
+        self, csr: DeviceGraphCSR, inner, fanout: Sequence[int]
+    ):
+        self.csr = csr
+        self.inner = inner
+        self.fanout = tuple(int(f) for f in fanout)
+
+    def init(self, key: jax.Array):
+        return self.inner.init(key)
+
+    def apply(
+        self,
+        params: dict,
+        state: dict,
+        batch: SeedBatch,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ):
+        key = jax.random.wrap_key_data(batch.key_data)
+        sampled = device_sample(self.csr, batch.seeds, key, self.fanout)
+        sampled = SampledNodeBatch(
+            node_features=sampled.node_features,
+            senders=sampled.senders,
+            receivers=sampled.receivers,
+            edge_weight=sampled.edge_weight,
+            node_mask=sampled.node_mask,
+            labels=batch.labels,
+            label_mask=batch.label_mask,
+            seed_mask=batch.seed_mask,
+            node_ids=sampled.node_ids,
+            num_seeds=sampled.num_seeds,
+        )
+        return self.inner.apply(
+            params, state, sampled, train=train, rng=rng,
+            axis_name=axis_name,
+        )
+
+    __call__ = apply
+
+
+def device_sampled_gcn(
+    graph: ConnectomeGraph,
+    *,
+    hidden_dim: int = 64,
+    num_classes: int = 2,
+    fanout: Sequence[int] = (10, 10),
+    dropout: float = 0.0,
+) -> DeviceSampledModel:
+    """Convenience: upload ``graph`` and wrap a matching ``NodeGCN``
+    (``num_layers = len(fanout)``)."""
+    from connectome_gnn_tpu.models.node_coo import NodeGCN
+
+    csr = DeviceGraphCSR.from_graph(graph)
+    inner = NodeGCN(
+        in_channels=int(graph.node_features.shape[1]),
+        hidden_dim=hidden_dim,
+        num_classes=num_classes,
+        num_layers=len(tuple(fanout)),
+        dropout=dropout,
+    )
+    return DeviceSampledModel(csr, inner, fanout)

@@ -1,0 +1,244 @@
+"""Device-side neighbor sampling (`data/device_sampling.py`).
+
+The strongest oracle is keep-all equivalence: with ``fanout >=
+max_in_degree`` both the device sampler and the host sampler keep EVERY
+in-edge of the expanded frontier, so node sets, global edge multisets,
+and model outputs must agree exactly (the samplers' RNGs never matter).
+Fanout-limited behavior is covered structurally (bounds, sortedness,
+padding inertness, determinism) and end-to-end (training learns a
+1-hop-computable task through the fused sample+step program).
+
+Scales the reference's scatter aggregation
+(/root/reference/connectome_gnn/models.py:45-54); the reference itself
+has no sampling or device residency (SURVEY §0).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from connectome_gnn_tpu.data import (
+    DeviceGraphCSR,
+    DeviceSeedLoader,
+    SampledNodeLoader,
+    device_sample,
+    device_sampled_gcn,
+    generate_spatial_graph,
+    make_seed_batch,
+)
+from connectome_gnn_tpu.data.sampled import collate_sampled
+from connectome_gnn_tpu.data.sampling import NeighborSampler
+from connectome_gnn_tpu.models import NodeGCN
+from connectome_gnn_tpu.train import Trainer
+
+
+def _graph(n=500, degree=6, band=32, seed=0, shortcut_frac=0.2):
+    return generate_spatial_graph(
+        n, degree=degree, band=band, seed=seed, shortcut_frac=shortcut_frac
+    )
+
+
+def _global_edges(batch):
+    ids = np.asarray(batch.node_ids)
+    m = np.asarray(batch.edge_weight) != 0
+    return sorted(
+        zip(
+            ids[np.asarray(batch.senders)[m]].tolist(),
+            ids[np.asarray(batch.receivers)[m]].tolist(),
+            np.round(np.asarray(batch.edge_weight)[m], 6).tolist(),
+        )
+    )
+
+
+class TestKeepAllOracle:
+    def test_matches_host_sampler_exactly(self):
+        g = _graph()
+        csr = DeviceGraphCSR.from_graph(g)
+        F = csr.max_in_degree
+        seeds = np.array([5, 9, 70, 401], np.int32)
+        dev = device_sample(
+            csr, jnp.asarray(seeds), jax.random.PRNGKey(0), (F, F)
+        )
+        sub, node_ids = NeighborSampler(g).sample(seeds, (F, F), seed=1)
+
+        real = np.asarray(dev.node_mask)
+        assert set(np.asarray(dev.node_ids)[real].tolist()) == set(
+            node_ids.tolist()
+        )
+        assert np.asarray(dev.node_ids)[:4].tolist() == seeds.tolist()
+        hs, hd = sub.edge_index
+        host_edges = sorted(
+            zip(
+                node_ids[hs].tolist(),
+                node_ids[hd].tolist(),
+                np.round(sub.edge_weight, 6).tolist(),
+            )
+        )
+        assert _global_edges(dev) == host_edges
+
+    def test_model_logits_match_host_collate(self):
+        g = _graph()
+        csr = DeviceGraphCSR.from_graph(g)
+        F = csr.max_in_degree
+        seeds = np.array([5, 9, 70, 401], np.int32)
+        dev = device_sample(
+            csr, jnp.asarray(seeds), jax.random.PRNGKey(0), (F, F)
+        )
+        sub, node_ids = NeighborSampler(g).sample(seeds, (F, F), seed=1)
+        host = collate_sampled(
+            sub, node_ids, None, num_seeds=4, real_seeds=4,
+            node_budget=dev.num_nodes,
+            edge_budget=int(dev.senders.shape[0]),
+        )
+        model = NodeGCN(in_channels=5, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(1))
+        ld, _ = model.apply(params, state, dev)
+        lh, _ = model.apply(params, state, host)
+        assert jnp.allclose(ld, lh, rtol=1e-5, atol=1e-6)
+
+
+class TestStructure:
+    def test_fanout_bounds_receivers_sorted_padding_inert(self):
+        g = _graph(n=800, degree=10)
+        csr = DeviceGraphCSR.from_graph(g)
+        seeds = np.arange(16, dtype=np.int32) * 7
+        b = device_sample(
+            csr, jnp.asarray(seeds), jax.random.PRNGKey(3), (4, 4)
+        )
+        r = np.asarray(b.receivers)
+        assert (np.diff(r) >= 0).all()
+        w = np.asarray(b.edge_weight)
+        s = np.asarray(b.senders)
+        # real (weight>0) edges per receiver per hop <= fanout: hop blocks
+        # are [16*4] then [64*4]
+        hop0 = np.bincount(r[:64][w[:64] > 0], minlength=b.num_nodes)
+        assert hop0.max() <= 4
+        # padding edges are self-edges with weight 0
+        pad = w == 0
+        assert (s[pad] == r[pad]).all()
+        # every real edge exists in the original graph
+        ids = np.asarray(b.node_ids)
+        real = w > 0
+        gs, gd = g.edge_index
+        eset = set(zip(gs.tolist(), gd.tolist()))
+        for a, c in zip(ids[s[real]].tolist(), ids[r[real]].tolist()):
+            assert (a, c) in eset
+
+    def test_deterministic_by_key(self):
+        g = _graph()
+        csr = DeviceGraphCSR.from_graph(g)
+        seeds = jnp.arange(8, dtype=jnp.int32)
+        a = device_sample(csr, seeds, jax.random.PRNGKey(5), (3, 3))
+        b = device_sample(csr, seeds, jax.random.PRNGKey(5), (3, 3))
+        c = device_sample(csr, seeds, jax.random.PRNGKey(6), (3, 3))
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        ):
+            assert jnp.array_equal(la, lb)
+        assert not jnp.array_equal(a.senders, c.senders)
+
+    def test_pad_seeds_keep_slots(self):
+        """-1 seed slots stay masked but occupy their local id, so the
+        head's ``x[:S]`` read stays aligned with the label slots."""
+        g = _graph(n=300)
+        csr = DeviceGraphCSR.from_graph(g)
+        seeds = jnp.asarray(np.array([10, 20, -1, -1], np.int32))
+        b = device_sample(csr, seeds, jax.random.PRNGKey(0), (3,))
+        ids = np.asarray(b.node_ids)
+        assert ids[0] == 10 and ids[1] == 20
+        assert ids[2] == -1 and ids[3] == -1
+        nm = np.asarray(b.node_mask)
+        assert nm[0] and nm[1] and not nm[2] and not nm[3]
+        assert np.allclose(np.asarray(b.node_features)[2:4], 0.0)
+
+
+class TestSeedBatch:
+    def test_packed_roundtrip(self):
+        labels = np.arange(100, dtype=np.int32) % 2
+        chunk = np.array([7, 3, 11], np.int64)
+        sb = make_seed_batch(chunk, labels, 12345, num_seeds=5)
+        assert np.asarray(sb.seeds).tolist() == [7, 3, 11, -1, -1]
+        assert np.asarray(sb.labels).tolist() == [1, 1, 1, 0, 0]
+        assert np.asarray(sb.seed_mask).tolist() == [1, 1, 1, 0, 0]
+        assert np.asarray(sb.label_mask).tolist() == [1, 1, 1, 0, 0]
+        key = jax.random.wrap_key_data(sb.key_data)
+        ref = jax.random.PRNGKey(12345)
+        assert jnp.array_equal(
+            jax.random.key_data(key), jax.random.key_data(ref)
+        )
+
+    def test_unlabeled(self):
+        sb = make_seed_batch(np.array([1, 2]), None, 0, num_seeds=2)
+        assert not bool(sb.label_mask.any())
+        assert bool(sb.seed_mask.all())
+
+    def test_loader_epoch_streams(self):
+        lo = DeviceSeedLoader(np.arange(64), np.zeros(64, np.int32),
+                              batch_size=32, seed=0)
+        e0 = [np.asarray(b.packed).copy() for b in lo]
+        e1 = [np.asarray(b.packed).copy() for b in lo]
+        assert not all(np.array_equal(a, b) for a, b in zip(e0, e1))
+        lo.set_epoch(0)
+        e0r = [np.asarray(b.packed).copy() for b in lo]
+        assert all(np.array_equal(a, b) for a, b in zip(e0, e0r))
+
+
+class TestTraining:
+    def test_fit_learns_one_hop_task(self):
+        g = generate_spatial_graph(1024, degree=8, band=32, seed=0)
+        src, dst = g.edge_index
+        num = np.zeros(g.num_nodes)
+        den = np.zeros(g.num_nodes)
+        np.add.at(num, dst, g.edge_weight * g.node_features[src, 0])
+        np.add.at(den, dst, g.edge_weight)
+        agg = num / (den + 1e-8)
+        labels = (agg > np.median(agg)).astype(np.int32)
+
+        model = device_sampled_gcn(g, hidden_dim=32, fanout=(8, 8))
+        tr = DeviceSeedLoader(
+            np.arange(1024), labels, batch_size=128, seed=0, drop_last=True
+        )
+        va = DeviceSeedLoader(
+            np.arange(1024), labels, batch_size=128, seed=1, shuffle=False
+        )
+        trainer = Trainer(model, seed=0)
+        hist = trainer.fit(tr, va, num_epochs=4, patience=10, verbose=False)
+        assert hist["train_loss"][-1] < hist["train_loss"][0]
+        assert hist["val_acc"][-1] > 0.6
+
+    def test_tracks_host_sampled_quality(self):
+        """Device-sampled training must land in the host-sampled run's
+        accuracy neighborhood (same task, same architecture)."""
+        g = generate_spatial_graph(1024, degree=8, band=32, seed=0)
+        src, dst = g.edge_index
+        num = np.zeros(g.num_nodes)
+        den = np.zeros(g.num_nodes)
+        np.add.at(num, dst, g.edge_weight * g.node_features[src, 0])
+        np.add.at(den, dst, g.edge_weight)
+        agg = num / (den + 1e-8)
+        labels = (agg > np.median(agg)).astype(np.int32)
+
+        dev_model = device_sampled_gcn(g, hidden_dim=32, fanout=(8, 8))
+        dev_tr = DeviceSeedLoader(
+            np.arange(1024), labels, batch_size=128, seed=0, drop_last=True
+        )
+        dev_va = DeviceSeedLoader(
+            np.arange(1024), labels, batch_size=128, seed=1, shuffle=False
+        )
+        dev = Trainer(dev_model, seed=0)
+        dh = dev.fit(dev_tr, dev_va, num_epochs=6, patience=20, verbose=False)
+
+        host_tr = SampledNodeLoader(
+            g, labels, batch_size=128, fanout=(8, 8), seed=0, drop_last=True
+        )
+        host_va = SampledNodeLoader(
+            g, labels, batch_size=128, fanout=(8, 8), seed=1, shuffle=False
+        )
+        host = Trainer(
+            NodeGCN(in_channels=5, hidden_dim=32, num_layers=2), seed=0
+        )
+        hh = host.fit(
+            host_tr, host_va, num_epochs=6, patience=20, verbose=False
+        )
+        assert abs(dh["val_acc"][-1] - hh["val_acc"][-1]) < 0.12
