@@ -1103,12 +1103,12 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
     link-constrained runtime."""
     import numpy as np
 
-    from connectome_gnn_tpu.data import DeviceSeedLoader, device_sampled_gcn
+    from connectome_gnn_tpu.data import device_sampled_gcn
     from connectome_gnn_tpu.train import Trainer
 
     g, labels = _sampled_graph(num_nodes, degree)
     model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
-    loader = DeviceSeedLoader(
+    loader = model.make_loader(
         np.arange(num_nodes), labels, batch_size=batch, seed=0,
         drop_last=True,
     )
@@ -1124,21 +1124,26 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
         return loss
 
     # real sampled-edge count: draw a few batches through the sampler
-    # alone (outside the timed loop) and count weight>0 edges
+    # alone (outside the timed loop) and count weight>0 edges.  MUST be
+    # jitted — eager device_sample dispatches every sort/top_k/gather as
+    # its own tunnel round-trip on this runtime and takes minutes.
     from connectome_gnn_tpu.data import device_sample
     import jax as _jax
 
+    @_jax.jit
+    def _count(csr, seeds, key_data):
+        s = device_sample(
+            csr, seeds, _jax.random.wrap_key_data(key_data), fanout
+        )
+        return (s.edge_weight > 0).sum()
+
     edges = 0.0
     for k in range(3):
-        sb = next(iter(DeviceSeedLoader(
+        sb = next(iter(model.make_loader(
             np.arange(num_nodes), labels, batch_size=batch, seed=k,
             drop_last=True,
         )))
-        s = device_sample(
-            model.csr, sb.seeds, _jax.random.wrap_key_data(sb.key_data),
-            fanout,
-        )
-        edges += _fetch((s.edge_weight > 0).sum())
+        edges += _fetch(_count(model.csr, sb.seeds, sb.key_data))
     edges /= 3.0
 
     for _ in range(3):  # compile + warm

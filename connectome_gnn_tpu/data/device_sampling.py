@@ -108,9 +108,17 @@ class SeedBatch:
     ``labels`` / ``label_mask`` / ``graph_mask`` surface the standard
     :class:`~connectome_gnn_tpu.train.Trainer` reads, so sampled
     training through a :class:`DeviceSampledModel` drives it unchanged.
+
+    ``csr`` (optional) carries the device-resident graph as pytree
+    LEAVES of the batch.  This matters on remote runtimes: a jitted step
+    that merely closed over the CSR would embed ~0.4 GB of constants in
+    the program — this rig's remote-compile endpoint rejects that with
+    HTTP 413 at the 1M-node scale.  As arguments the arrays cost nothing
+    per call (they already live on device).
     """
 
     packed: jnp.ndarray  # int32 [3 + 2 * num_seeds]
+    csr: Optional["DeviceGraphCSR"] = None
     num_seeds: int = static_field(default=0)
     labeled: bool = static_field(default=True)
 
@@ -147,6 +155,7 @@ def make_seed_batch(
     labels: Optional[np.ndarray],
     sample_seed: int,
     num_seeds: int,
+    csr: Optional[DeviceGraphCSR] = None,
 ) -> SeedBatch:
     """Host-side constructor (numpy fills + ONE jnp.asarray)."""
     packed = np.empty(3 + 2 * num_seeds, np.int32)
@@ -160,6 +169,7 @@ def make_seed_batch(
         lab[: len(chunk)] = labels[chunk]
     return SeedBatch(
         packed=jnp.asarray(packed),
+        csr=csr,
         num_seeds=int(num_seeds),
         labeled=labels is not None,
     )
@@ -305,7 +315,9 @@ class DeviceSeedLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = False,
+        csr: Optional[DeviceGraphCSR] = None,
     ):
+        self.csr = csr
         self.seeds = np.asarray(seed_pool, np.int64)
         self.node_labels = (
             np.asarray(node_labels, np.int32)
@@ -345,6 +357,7 @@ class DeviceSeedLoader:
                 self.node_labels,
                 _sample_seed(self.seed, epoch, b),
                 self.batch_size,
+                csr=self.csr,
             )
 
 
@@ -367,6 +380,12 @@ class DeviceSampledModel:
     def init(self, key: jax.Array):
         return self.inner.init(key)
 
+    def make_loader(self, seed_pool, node_labels=None, **kw) -> "DeviceSeedLoader":
+        """A :class:`DeviceSeedLoader` whose batches carry this model's
+        CSR as jit arguments (required at giant scale — see
+        :class:`SeedBatch`)."""
+        return DeviceSeedLoader(seed_pool, node_labels, csr=self.csr, **kw)
+
     def apply(
         self,
         params: dict,
@@ -377,8 +396,12 @@ class DeviceSampledModel:
         rng: Optional[jax.Array] = None,
         axis_name: Optional[str] = None,
     ):
+        # prefer the batch-carried CSR (a jit ARGUMENT) over the closure
+        # copy: closure constants are serialized into the remote-compile
+        # request on this runtime and blow its size limit at giant scale
+        csr = batch.csr if batch.csr is not None else self.csr
         key = jax.random.wrap_key_data(batch.key_data)
-        sampled = device_sample(self.csr, batch.seeds, key, self.fanout)
+        sampled = device_sample(csr, batch.seeds, key, self.fanout)
         sampled = SampledNodeBatch(
             node_features=sampled.node_features,
             senders=sampled.senders,

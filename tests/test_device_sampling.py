@@ -196,12 +196,16 @@ class TestTraining:
         labels = (agg > np.median(agg)).astype(np.int32)
 
         model = device_sampled_gcn(g, hidden_dim=32, fanout=(8, 8))
-        tr = DeviceSeedLoader(
+        # make_loader attaches the CSR to every batch so the jitted step
+        # takes it as an ARGUMENT (required at giant scale — remote
+        # compile rejects 0.4GB closure constants)
+        tr = model.make_loader(
             np.arange(1024), labels, batch_size=128, seed=0, drop_last=True
         )
-        va = DeviceSeedLoader(
+        va = model.make_loader(
             np.arange(1024), labels, batch_size=128, seed=1, shuffle=False
         )
+        assert tr.csr is model.csr
         trainer = Trainer(model, seed=0)
         hist = trainer.fit(tr, va, num_epochs=4, patience=10, verbose=False)
         assert hist["train_loss"][-1] < hist["train_loss"][0]
