@@ -10,7 +10,9 @@ from connectome_gnn_tpu.data.device_sampling import (
     SeedBatch,
     device_sample,
     device_sampled_gcn,
+    make_epoch_runner,
     make_seed_batch,
+    pack_epoch,
 )
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
@@ -56,7 +58,9 @@ __all__ = [
     "SeedBatch",
     "device_sample",
     "device_sampled_gcn",
+    "make_epoch_runner",
     "make_seed_batch",
+    "pack_epoch",
     "LayoutPlan",
     "PrefetchIterator",
     "PrefetchLoader",

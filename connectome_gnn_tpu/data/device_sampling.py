@@ -150,14 +150,12 @@ class SeedBatch:
         return self.seed_mask
 
 
-def make_seed_batch(
+def _pack_seed_row(
     chunk: np.ndarray,
     labels: Optional[np.ndarray],
     sample_seed: int,
     num_seeds: int,
-    csr: Optional[DeviceGraphCSR] = None,
-) -> SeedBatch:
-    """Host-side constructor (numpy fills + ONE jnp.asarray)."""
+) -> np.ndarray:
     packed = np.empty(3 + 2 * num_seeds, np.int32)
     packed[0] = len(chunk)
     packed[1:3] = np.array([0, sample_seed], np.uint32).view(np.int32)
@@ -167,8 +165,21 @@ def make_seed_batch(
     lab[:] = 0
     if labels is not None and len(chunk):
         lab[: len(chunk)] = labels[chunk]
+    return packed
+
+
+def make_seed_batch(
+    chunk: np.ndarray,
+    labels: Optional[np.ndarray],
+    sample_seed: int,
+    num_seeds: int,
+    csr: Optional[DeviceGraphCSR] = None,
+) -> SeedBatch:
+    """Host-side constructor (numpy fills + ONE jnp.asarray)."""
     return SeedBatch(
-        packed=jnp.asarray(packed),
+        packed=jnp.asarray(
+            _pack_seed_row(chunk, labels, sample_seed, num_seeds)
+        ),
         csr=csr,
         num_seeds=int(num_seeds),
         labeled=labels is not None,
@@ -420,6 +431,99 @@ class DeviceSampledModel:
         )
 
     __call__ = apply
+
+
+def make_epoch_runner(model: DeviceSampledModel, optimizer):
+    """Whole-epoch-on-device training: ``lax.scan`` over seed chunks.
+
+    With sampling already fused into the step, the remaining per-step
+    cost on a remote runtime is the dispatch + SeedBatch transfer.  The
+    epoch runner removes both: ONE ``[steps, 3+2S]`` packed buffer
+    crosses the link and ONE program runs the whole epoch (sample →
+    forward/backward → Adam, scanned), returning the final
+    params/state/opt_state and per-step (loss, n) history.
+
+    Step semantics replicate ``Trainer._train_step`` exactly (same rng
+    split per step, same masked-CE loss), so a scanned epoch matches the
+    equivalent step-by-step loop to float precision (params typically
+    bitwise; BN state can differ at the last ulp from XLA's scan-body
+    fusion choices) — asserted in ``tests/test_device_sampling.py``.
+
+    Returns ``run(params, state, opt_state, rng, packed_all, csr) ->
+    (params, state, opt_state, rng, losses, ns)``; build ``packed_all``
+    with :func:`pack_epoch`.
+    """
+    import optax
+
+    def _step(csr, params, state, opt_state, rng, packed_row, labeled):
+        S = (packed_row.shape[0] - 3) // 2
+        batch = SeedBatch(
+            packed=packed_row, csr=csr, num_seeds=S, labeled=labeled
+        )
+        rng, step_key = jax.random.split(rng)
+
+        def loss_fn(p):
+            logits, new_state = model.apply(
+                p, state, batch, train=True, rng=step_key
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch.labels
+            )
+            mask = batch.label_mask.astype(jnp.float32)
+            n = jnp.sum(mask)
+            loss = jnp.sum(ce * mask) / jnp.maximum(n, 1.0)
+            return loss, (new_state, n)
+
+        (loss, (new_state, n)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, rng, loss, n
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("labeled",))
+    def run(params, state, opt_state, rng, packed_all, csr, labeled=True):
+        def body(carry, row):
+            p, s, o, r = carry
+            p, s, o, r, loss, n = _step(csr, p, s, o, r, row, labeled)
+            return (p, s, o, r), (loss, n)
+
+        (params, state, opt_state, rng), (losses, ns) = jax.lax.scan(
+            body, (params, state, opt_state, rng), packed_all
+        )
+        return params, state, opt_state, rng, losses, ns
+
+    return run
+
+
+def pack_epoch(loader: DeviceSeedLoader) -> jnp.ndarray:
+    """One epoch of a :class:`DeviceSeedLoader` as a single
+    ``[steps, 3+2S]`` int32 buffer — host numpy all the way, ONE
+    transfer (advances the loader's epoch, like iterating it)."""
+    from connectome_gnn_tpu.data.sampled import _sample_seed
+
+    seeds = loader.seeds
+    epoch = loader._epoch
+    loader._epoch += 1
+    if loader.shuffle:
+        rng = np.random.default_rng(loader.seed + epoch)
+        seeds = seeds[rng.permutation(len(seeds))]
+    rows = []
+    for b, start in enumerate(range(0, len(seeds), loader.batch_size)):
+        chunk = seeds[start : start + loader.batch_size]
+        if loader.drop_last and len(chunk) < loader.batch_size:
+            break
+        rows.append(
+            _pack_seed_row(
+                chunk,
+                loader.node_labels,
+                _sample_seed(loader.seed, epoch, b),
+                loader.batch_size,
+            )
+        )
+    return jnp.asarray(np.stack(rows))
 
 
 def device_sampled_gcn(

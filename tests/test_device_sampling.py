@@ -25,7 +25,9 @@ from connectome_gnn_tpu.data import (
     device_sample,
     device_sampled_gcn,
     generate_spatial_graph,
+    make_epoch_runner,
     make_seed_batch,
+    pack_epoch,
 )
 from connectome_gnn_tpu.data.sampled import collate_sampled
 from connectome_gnn_tpu.data.sampling import NeighborSampler
@@ -210,6 +212,46 @@ class TestTraining:
         hist = trainer.fit(tr, va, num_epochs=4, patience=10, verbose=False)
         assert hist["train_loss"][-1] < hist["train_loss"][0]
         assert hist["val_acc"][-1] > 0.6
+
+    def test_epoch_scan_matches_stepwise(self):
+        """make_epoch_runner's scanned epoch must equal the Trainer's
+        step-by-step epoch to float precision (same rng split, same
+        masked CE, same Adam update — only the dispatch granularity and
+        XLA's fusion choices differ; observed deltas are last-ulp in the
+        BN state)."""
+        g = _graph(n=400, degree=6)
+        labels = (np.arange(400) % 2).astype(np.int32)
+        model = device_sampled_gcn(g, hidden_dim=16, fanout=(3, 3))
+
+        trainer = Trainer(model, seed=0)
+        run = make_epoch_runner(model, trainer.optimizer)
+        packed = pack_epoch(
+            model.make_loader(
+                np.arange(400), labels, batch_size=100, seed=4,
+                drop_last=True,
+            )
+        )
+        p2, s2, o2, _, losses, ns = run(
+            trainer.params, trainer.state, trainer.opt_state,
+            trainer._rng, packed, model.csr,
+        )
+
+        loader = model.make_loader(
+            np.arange(400), labels, batch_size=100, seed=4, drop_last=True
+        )
+        trainer.train_epoch(loader)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p2),
+            jax.tree_util.tree_leaves(trainer.params),
+        ):
+            assert jnp.allclose(a, b, rtol=1e-6, atol=1e-7)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s2),
+            jax.tree_util.tree_leaves(trainer.state),
+        ):
+            assert jnp.allclose(a, b, rtol=1e-6, atol=1e-7)
+        assert losses.shape == (4,)
+        assert bool(jnp.all(ns == 100))
 
     def test_tracks_host_sampled_quality(self):
         """Device-sampled training must land in the host-sampled run's
