@@ -1167,6 +1167,94 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
     }
 
 
+def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
+                               fanout=(10, 10), max_steps=256):
+    """Config SE: WHOLE-EPOCH-on-device sampled training.
+
+    ``make_epoch_runner`` scans the fused sample+train step over a
+    packed ``[steps, 3+2S]`` seed buffer — one host transfer and one
+    dispatch per EPOCH (`data/device_sampling.py`).  Timing is honest
+    end-to-end: pack (host numpy) + transfer + scanned program + final
+    fetch.  Marginal per-step cost is the full-vs-quarter difference
+    (removes the fixed dispatch RTT that dominates config SD on this
+    tunnelled runtime)."""
+    import numpy as np
+
+    from connectome_gnn_tpu.data import (device_sampled_gcn,
+                                         make_epoch_runner, pack_epoch)
+    from connectome_gnn_tpu.train import reference_adam
+
+    g, labels = _sampled_graph(num_nodes, degree)
+    model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    loader = model.make_loader(
+        np.arange(num_nodes), labels, batch_size=batch, seed=0,
+        drop_last=True,
+    )
+    optimizer = reference_adam()
+    runner = make_epoch_runner(model, optimizer)
+    params, state = model.init(jax.random.key(0))
+    opt_state = optimizer.init(params)
+    rng = jax.random.key(1)
+
+    packed = pack_epoch(loader)[:max_steps]
+    steps = int(packed.shape[0])
+    quarter = packed[: steps // 4]
+
+    def run_epoch(buf):
+        t0 = time.perf_counter()
+        _, _, _, _, losses, _ = runner(
+            params, state, opt_state, rng, buf, model.csr
+        )
+        _fetch(losses)
+        return time.perf_counter() - t0
+
+    run_epoch(packed)   # compile + warm (full length)
+    run_epoch(quarter)  # compile + warm (quarter length)
+    t_full = min(run_epoch(packed) for _ in range(2))
+    t_quarter = min(run_epoch(quarter) for _ in range(2))
+    dt = (t_full - t_quarter) / (steps - steps // 4)
+
+    # honest end-to-end: pack the NEXT epoch on host + transfer + run
+    t0 = time.perf_counter()
+    buf = pack_epoch(loader)[:max_steps]
+    _, _, _, _, losses, _ = runner(
+        params, state, opt_state, rng, buf, model.csr
+    )
+    _fetch(losses)
+    epoch_s = time.perf_counter() - t0
+
+    # measured sampled-edge count (same jitted counter as config SD)
+    from connectome_gnn_tpu.data import device_sample
+
+    @jax.jit
+    def _count(csr, seeds, key_data):
+        s = device_sample(
+            csr, seeds, jax.random.wrap_key_data(key_data), fanout
+        )
+        return (s.edge_weight > 0).sum()
+
+    edges = 0.0
+    for k in range(3):
+        sb = next(iter(model.make_loader(
+            np.arange(num_nodes), labels, batch_size=batch, seed=k,
+            drop_last=True,
+        )))
+        edges += _fetch(_count(model.csr, sb.seeds, sb.key_data))
+    edges /= 3.0
+
+    return {
+        "ms_per_step": dt * 1e3,
+        "steps_per_s": 1.0 / dt,
+        "seed_nodes_per_s": batch / dt,
+        "sampled_edges_per_s": edges / dt,
+        "avg_sampled_edges": edges,
+        "epoch_ms_end_to_end": epoch_s * 1e3,
+        "epoch_steps": steps,
+        "ms_per_step_end_to_end": epoch_s * 1e3 / steps,
+        "num_nodes": num_nodes,
+    }
+
+
 def bench_sampled_train_giant(steps=30):
     """Config S2: end-to-end sampled training ON the full north-star
     graph — 1M nodes / ~44M edges (spatial + 10% shortcuts), 1024 seeds
@@ -1231,6 +1319,14 @@ BENCHES = {
             "1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
             lambda: bench_device_sampled_train(
                 num_nodes=1 << 20, degree=38)),
+    "SE": ("WHOLE-EPOCH-on-device sampled training (lax.scan over packed "
+           "seed chunks, one transfer + one dispatch per epoch), 262k-node "
+           "graph, 1024 seeds/step, fanout 10x10",
+           bench_device_sampled_epoch),
+    "SE2": ("whole-epoch-on-device sampled training on the FULL north-star "
+            "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
+            lambda: bench_device_sampled_epoch(
+                num_nodes=1 << 20, degree=38)),
     "S2": ("sampled-minibatch training END-TO-END on the FULL north-star "
            "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
            bench_sampled_train_giant),
@@ -1247,7 +1343,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SD2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SD2,SE,SE2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
