@@ -109,6 +109,8 @@ def spectral_ordering(
     reweight_iters: int = 3,
     seed: int = 0,
     return_iterates: bool = False,
+    solver: str = "relax",
+    relax_iters: int | None = None,
 ) -> np.ndarray | list[np.ndarray]:
     """Iteratively-reweighted Fiedler ordering: ``perm[new] = old``.
 
@@ -132,9 +134,23 @@ def spectral_ordering(
     orderings (``plan_layout``) should pass ``return_iterates=True`` and
     pick the cost-model argmin instead of trusting the last iterate.
 
-    Eigensolves run per connected component with LOBPCG (Jacobi
-    preconditioner, constant vector constrained out).  The solver is
-    DELIBERATELY a flat, bounded-iteration LOBPCG — a retired design
+    ``solver`` picks the embedding iteration.  The default ``"relax"``
+    runs ``relax_iters`` Jacobi-smoothed lazy-random-walk sweeps
+    (``x ← ½x + ½D⁻¹Wx``, per-component mean deflated — the
+    algebraic-distance smoother) on a CSR whose structure is built once
+    and whose weights update per IRLS round through a precomputed slot
+    map; it is O(relax_iters·E) with a tiny constant and produces the
+    same under-converged low-frequency mixes the reweighting needs.
+    ``"lobpcg"`` keeps the original per-component LOBPCG eigensolve
+    (tol/maxiter apply) — ~7× more plan time for equal-or-WORSE final
+    orderings (measured, 262k-node small-world 10% scrambled:
+    ``plan_layout`` 133.8 s → 19.2 s and remainder_frac 0.547 → 0.509;
+    the under-converged relax iterates recover MORE bandable mass),
+    retained as the oracle the relax path is tested against.
+
+    Eigensolves (the ``"lobpcg"`` path) run per connected component with
+    LOBPCG (Jacobi preconditioner, constant vector constrained out), a
+    flat, bounded-iteration solve — a retired design
     note, because the obvious upgrade is a trap: a multilevel V-cycle
     (heavy-edge coarsen → dense coarse solve → prolong+refine) was built
     and measured WORSE on small-world graphs, twice over.  First, exact
@@ -161,18 +177,79 @@ def spectral_ordering(
             np.concatenate([edge_weight, edge_weight]).astype(np.float64)
         )
 
-    struct = sp.csr_matrix(
-        (np.ones_like(w0), (dst, src)), shape=(num_nodes, num_nodes)
-    )
+    # symmetric CSR built ONCE (duplicates kept — matvec sums them); per
+    # IRLS round only `.data` changes, via the precomputed `order` slot
+    # map.  This removes the per-round coo→csr sort that used to cost
+    # seconds per solve at giant scale.
+    nnz = src.shape[0]
+    # stable single-key sort by receiver only: CSR matvec does not need
+    # within-row sorted columns, and argsort is much cheaper than
+    # lexsort at 10⁸ entries
+    order = np.argsort(dst, kind="stable")
+    idx_dtype = np.int32 if nnz < np.iinfo(np.int32).max else np.int64
+    indices = src[order].astype(idx_dtype)
+    indptr = np.zeros(num_nodes + 1, idx_dtype)
+    np.cumsum(np.bincount(dst, minlength=num_nodes), out=indptr[1:])
+
+    def matrix(w) -> sp.csr_matrix:
+        a = sp.csr_matrix(
+            (np.ascontiguousarray(w[order]), indices, indptr),
+            shape=(num_nodes, num_nodes),
+        )
+        return a
+
+    if relax_iters is None:
+        # smoothing budget: generous where matvecs are cheap (a 120-
+        # sweep 8k-node solve costs milliseconds and closes most of the
+        # quality gap to LOBPCG), lean at giant scale where each sweep
+        # streams the whole edge list and 30 already ORDERS BETTER than
+        # the converged eigensolve (see solver note above)
+        relax_iters = 30 if num_nodes > 100_000 else 120
+
+    struct = matrix(np.ones_like(w0))
     n_comp, comp = connected_components(struct, directed=False)
-    comp_nodes = [np.flatnonzero(comp == c) for c in range(n_comp)]
+    comp_counts = np.bincount(comp, minlength=n_comp).astype(np.float64)
     rng = np.random.default_rng(seed)
 
-    def solve(w, warm: np.ndarray | None) -> np.ndarray:
-        adj = sp.csr_matrix((w, (dst, src)), shape=(num_nodes, num_nodes))
-        adj.sum_duplicates()
+    def solve_relax(w, warm: np.ndarray | None) -> np.ndarray:
+        """Fixed-budget JOR relaxation (ω=½ lazy random walk) — the
+        algebraic-distance smoother (Ron/Safro/Brandt), per-component
+        deflated.  Deliberately NOT an eigensolver: under-converged
+        low-frequency mixes are exactly the signal the reweighting
+        amplifies (see the retired-design note below), and the cost
+        model prices every IRLS iterate anyway, so a converged Fiedler
+        vector buys nothing.  Measured better orderings at ~7× less
+        plan time than the per-component LOBPCG it replaces (262k-node
+        small-world 10%: plan 133.8 s → 19.2 s, remainder 0.547 →
+        0.509)."""
+        a = matrix(w)
+        d = np.asarray(a.sum(axis=1)).ravel()
+        dinv = 1.0 / np.maximum(d, 1e-30)
+        x = (
+            warm.astype(np.float64, copy=True)
+            if warm is not None
+            else rng.standard_normal(num_nodes)
+        )
+        for _ in range(relax_iters):
+            x = 0.5 * x + 0.5 * ((a @ x) * dinv)
+            x -= (
+                np.bincount(comp, weights=x, minlength=n_comp)
+                / comp_counts
+            )[comp]
+            norm = float(np.linalg.norm(x))
+            if norm > 0.0:
+                x /= norm
+        var = (
+            np.bincount(comp, weights=x * x, minlength=n_comp)
+            / comp_counts
+        )
+        return x / np.maximum(np.sqrt(var), 1e-30)[comp]
+
+    def solve_lobpcg(w, warm: np.ndarray | None) -> np.ndarray:
+        adj = matrix(w)
         key = np.zeros(num_nodes, np.float64)
-        for nodes in comp_nodes:
+        for c in range(n_comp):
+            nodes = np.flatnonzero(comp == c)
             if nodes.size <= 2:
                 key[nodes] = np.arange(nodes.size)
                 continue
@@ -196,6 +273,7 @@ def spectral_ordering(
         # stable sort by (component, fiedler value): components contiguous
         return np.lexsort((key, comp)).astype(np.int64)
 
+    solve = solve_relax if solver == "relax" else solve_lobpcg
     v = solve(w0, None)
     iterates = [to_perm(v)]
     for _ in range(reweight_iters):
