@@ -25,6 +25,7 @@ from connectome_gnn_tpu.data.layout import (
 from connectome_gnn_tpu.data.loader import ConnectomeDataLoader
 from connectome_gnn_tpu.data.prefetch import PrefetchIterator, PrefetchLoader
 from connectome_gnn_tpu.data.sampled import (
+    HopBlock,
     SampledNodeBatch,
     SampledNodeLoader,
     collate_sampled,
@@ -73,6 +74,7 @@ __all__ = [
     "load_dataset",
     "save_dataset",
     "NeighborSampler",
+    "HopBlock",
     "SampledNodeBatch",
     "SampledNodeLoader",
     "collate_sampled",

@@ -50,7 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
-from connectome_gnn_tpu.data.sampled import SampledNodeBatch, fanout_budgets
+from connectome_gnn_tpu.data.sampled import (HopBlock, SampledNodeBatch,
+                                             fanout_budgets)
 from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
 
 
@@ -220,6 +221,7 @@ def device_sample(
     frontier_local = jnp.arange(S, dtype=i32)  # ascending (incl. pads)
 
     senders_parts, receivers_parts, weight_parts = [], [], []
+    hop_blocks: list[HopBlock] = []
     for f in fanout:
         key, sub = jax.random.split(key)
         Fb = int(frontier.shape[0])
@@ -267,9 +269,17 @@ def device_sample(
         # sender locals (lookup AFTER the scatter so fresh ids resolve);
         # invalid draws become weight-0 self-edges on the receiver slot
         snd_loc = relabel[jnp.minimum(cand, N - 1)]
-        senders_parts.append(jnp.where(evalid_flat, snd_loc, rloc))
+        snd_final = jnp.where(evalid_flat, snd_loc, rloc)
+        senders_parts.append(snd_final)
         receivers_parts.append(rloc)
         weight_parts.append(w.reshape(-1))
+        hop_blocks.append(
+            HopBlock(
+                senders=snd_final.reshape(evalid.shape),
+                weights=w,
+                recv=frontier_local,
+            )
+        )
 
         # next frontier: first-occurrences, ascending; locals forward-
         # filled so the NEXT hop's receiver index stays monotone
@@ -303,6 +313,7 @@ def device_sample(
         seed_mask=zeros_s.astype(bool),
         node_ids=all_nodes,
         num_seeds=S,
+        hop_blocks=tuple(hop_blocks) if hop_blocks else None,
     )
 
 
@@ -424,6 +435,7 @@ class DeviceSampledModel:
             seed_mask=batch.seed_mask,
             node_ids=sampled.node_ids,
             num_seeds=sampled.num_seeds,
+            hop_blocks=sampled.hop_blocks,
         )
         return self.inner.apply(
             params, state, sampled, train=train, rng=rng,
@@ -536,10 +548,10 @@ def device_sampled_gcn(
 ) -> DeviceSampledModel:
     """Convenience: upload ``graph`` and wrap a matching ``NodeGCN``
     (``num_layers = len(fanout)``)."""
-    from connectome_gnn_tpu.models.node_coo import NodeGCN
+    from connectome_gnn_tpu.models.node_coo import BlockedNodeGCN
 
     csr = DeviceGraphCSR.from_graph(graph)
-    inner = NodeGCN(
+    inner = BlockedNodeGCN(
         in_channels=int(graph.node_features.shape[1]),
         hidden_dim=hidden_dim,
         num_classes=num_classes,

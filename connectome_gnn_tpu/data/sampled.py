@@ -35,6 +35,19 @@ from connectome_gnn_tpu.data.batch import round_up
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.sampling import NeighborSampler
 from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
+from typing import NamedTuple
+
+
+class HopBlock(NamedTuple):
+    """One hop's edges in the sampler's [frontier, fanout] emission
+    layout.  Row b holds frontier slot b's draws: ``senders[b, :]``
+    (local node ids; invalid draws point at the receiver itself with
+    ``weights[b, :] == 0``), all received by local node ``recv[b]``.
+    Hop 0's ``recv`` is always ``arange(num_seeds)``."""
+
+    senders: jnp.ndarray  # int32 [Fb, f]
+    weights: jnp.ndarray  # float32 [Fb, f]
+    recv: jnp.ndarray  # int32 [Fb]
 
 
 @pytree_dataclass
@@ -70,6 +83,15 @@ class SampledNodeBatch:
     seed_mask: jnp.ndarray
     node_ids: jnp.ndarray
     num_seeds: int = static_field(default=0)
+    # Optional per-hop blocked adjacency (device-side sampler only):
+    # tuple of HopBlock, one per hop, exposing the [frontier, fanout]
+    # emission layout so layers can aggregate by reshape-sum + a small
+    # per-frontier scatter instead of an edge-count scatter (see
+    # SAMPLE_DECOMP_r03.json for why: every 100k-row random access
+    # costs ~1.3 ms on this part).  Flat senders/receivers/edge_weight
+    # above remain the same edges (blocks are reshaped views); None for
+    # host-built batches.
+    hop_blocks: "tuple[HopBlock, ...] | None" = None
 
     @property
     def num_nodes(self) -> int:

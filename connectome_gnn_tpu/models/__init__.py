@@ -5,7 +5,8 @@ from connectome_gnn_tpu.models.connectome import (
     GCNConnectome,
     GraphSAGEConnectome,
 )
-from connectome_gnn_tpu.models.node_coo import NodeGCN, NodeSAGE
+from connectome_gnn_tpu.models.node_coo import (BlockedNodeGCN, NodeGCN,
+                                                 NodeSAGE)
 from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
 from connectome_gnn_tpu.models.node_sage import BandedNodeSAGE
 from connectome_gnn_tpu.models.layers import (
@@ -17,6 +18,7 @@ from connectome_gnn_tpu.models.layers import (
 
 __all__ = [
     "BandedNodeGCN",
+    "BlockedNodeGCN",
     "NodeGCN",
     "NodeSAGE",
     "BandedNodeSAGE",

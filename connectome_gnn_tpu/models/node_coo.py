@@ -113,6 +113,63 @@ class NodeGCN(_NodeModel):
         )
 
 
+class BlockedNodeGCN(NodeGCN):
+    """`NodeGCN` that aggregates through the device sampler's per-hop
+    [frontier, fanout] blocks when the batch carries them
+    (``batch.hop_blocks``), falling back to the flat COO path otherwise.
+
+    Same parameters, same math up to summation order — the blocked
+    layout turns the per-layer edge-count scatter (forward) and gather
+    (backward) into reshape-sums plus frontier-count scatters (see
+    :func:`~connectome_gnn_tpu.models.layers.gcn_layer_apply_blocked`).
+    Checkpoints are interchangeable with :class:`NodeGCN`.
+    """
+
+    def apply(
+        self,
+        params: dict,
+        state: dict,
+        batch: SampledNodeBatch,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ) -> tuple[jnp.ndarray, dict]:
+        if batch.hop_blocks is None:
+            return super().apply(
+                params, state, batch, train=train, rng=rng,
+                axis_name=axis_name,
+            )
+        from connectome_gnn_tpu.models.layers import gcn_layer_apply_blocked
+
+        x = batch.node_features
+        new_norms = []
+        drop_keys = (
+            jax.random.split(rng, self.num_layers)
+            if (train and rng is not None)
+            else [None] * self.num_layers
+        )
+        for i in range(self.num_layers):
+            x = gcn_layer_apply_blocked(
+                params["convs"][i], x, batch.hop_blocks, batch.num_seeds
+            )
+            x, bn_state = batch_norm_apply(
+                params["norms"][i],
+                state["norms"][i],
+                x,
+                batch.node_mask,
+                train=train,
+                axis_name=axis_name,
+            )
+            new_norms.append(bn_state)
+            x = jax.nn.relu(x)
+            x = dropout(drop_keys[i], x, self.dropout, train=train)
+        logits = dense_apply(params["head"], x[: batch.num_seeds])
+        return logits, {"norms": new_norms}
+
+    __call__ = apply
+
+
 class NodeSAGE(_NodeModel):
     """L-layer node-classification GraphSAGE (ReLU inside the layer,
     none after BN — the reference asymmetry, models.py:256-262)."""
