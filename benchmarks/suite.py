@@ -1092,7 +1092,7 @@ def bench_sampled_train(num_nodes=262_144, degree=16, batch=1024,
 
 
 def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
-                               fanout=(10, 10), steps=30):
+                               fanout=(10, 10), steps=30, family="gcn"):
     """Config SD: end-to-end sampled training with DEVICE-SIDE sampling.
 
     The graph (CSR + features) is resident in HBM
@@ -1100,14 +1100,17 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
     the link, and sampling fuses into the jitted train step.  Same
     protocol as config S (host work INCLUDED, epoch-level sync) — the
     delta vs S is the measured cost of host-built batches on this
-    link-constrained runtime."""
+    link-constrained runtime.  ``family`` picks the blocked GCN or SAGE
+    stack (config SDS)."""
     import numpy as np
 
-    from connectome_gnn_tpu.data import device_sampled_gcn
+    from connectome_gnn_tpu.data import (device_sampled_gcn,
+                                         device_sampled_sage)
     from connectome_gnn_tpu.train import Trainer
 
     g, labels = _sampled_graph(num_nodes, degree)
-    model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    make = device_sampled_gcn if family == "gcn" else device_sampled_sage
+    model = make(g, hidden_dim=64, fanout=fanout)
     loader = model.make_loader(
         np.arange(num_nodes), labels, batch_size=batch, seed=0,
         drop_last=True,
@@ -1315,6 +1318,9 @@ BENCHES = {
            "(graph resident in HBM, ~8KB SeedBatch/step), 262k-node graph, "
            "1024 seeds/step, fanout 10x10",
            bench_device_sampled_train),
+    "SDS": ("device-side sampled training, GraphSAGE family (blocked "
+            "aggregation), 262k-node graph, 1024 seeds/step, fanout 10x10",
+            lambda: bench_device_sampled_train(family="sage")),
     "SD2": ("device-side sampled training on the FULL north-star graph, "
             "1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
             lambda: bench_device_sampled_train(
@@ -1343,7 +1349,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SD2,SE,SE2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SDS,SD2,SE,SE2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

@@ -10,6 +10,7 @@ from connectome_gnn_tpu.data.device_sampling import (
     SeedBatch,
     device_sample,
     device_sampled_gcn,
+    device_sampled_sage,
     make_epoch_runner,
     make_seed_batch,
     pack_epoch,
@@ -59,6 +60,7 @@ __all__ = [
     "SeedBatch",
     "device_sample",
     "device_sampled_gcn",
+    "device_sampled_sage",
     "make_epoch_runner",
     "make_seed_batch",
     "pack_epoch",

@@ -68,6 +68,11 @@ class DeviceGraphCSR:
     senders: jnp.ndarray  # int32 [E], grouped by receiver
     edge_weight: jnp.ndarray  # float32 [E]
     node_features: jnp.ndarray  # float32 [N, F]
+    # [E, 2] rows of (sender id, bitcast f32 weight): lets the sampler
+    # fetch both with ONE random-access pass — the step is bound by
+    # ~11-14 ns/row HBM latency (SAMPLE_DECOMP_r03.json), so two 4-byte
+    # gathers at the same indices cost twice one 8-byte gather.
+    sender_weight: Optional[jnp.ndarray] = None
     max_in_degree: int = static_field(default=0)
 
     @property
@@ -87,14 +92,17 @@ class DeviceGraphCSR:
         counts = np.bincount(dst_sorted, minlength=graph.num_nodes)
         indptr = np.zeros(graph.num_nodes + 1, np.int32)
         np.cumsum(counts, out=indptr[1:])
+        snd = src[order].astype(np.int32)
+        w = graph.edge_weight[order].astype(np.float32)
         return cls(
             indptr=jnp.asarray(indptr),
-            senders=jnp.asarray(src[order].astype(np.int32)),
-            edge_weight=jnp.asarray(
-                graph.edge_weight[order].astype(np.float32)
-            ),
+            senders=jnp.asarray(snd),
+            edge_weight=jnp.asarray(w),
             node_features=jnp.asarray(
                 graph.node_features.astype(np.float32)
+            ),
+            sender_weight=jnp.asarray(
+                np.stack([snd, w.view(np.int32)], axis=1)
             ),
             max_in_degree=int(counts.max()) if counts.size else 0,
         )
@@ -222,7 +230,7 @@ def device_sample(
 
     senders_parts, receivers_parts, weight_parts = [], [], []
     hop_blocks: list[HopBlock] = []
-    for f in fanout:
+    for h, f in enumerate(fanout):
         key, sub = jax.random.split(key)
         Fb = int(frontier.shape[0])
         v = jnp.maximum(frontier, 0)
@@ -236,8 +244,15 @@ def device_sample(
         vals, pos = jax.lax.top_k(scores, min(f, max_deg))
         evalid = vals >= 0.0  # [Fb, f]
         eid = jnp.minimum(csr.indptr[v][:, None] + pos, E - 1)
-        snd = csr.senders[eid]  # [Fb, f] global sender ids
-        w = jnp.where(evalid, csr.edge_weight[eid], 0.0)
+        if csr.sender_weight is not None:
+            # one 8-byte random-access pass instead of two 4-byte ones
+            sw = csr.sender_weight[eid]  # [Fb, f, 2]
+            snd = sw[..., 0]
+            w_raw = jax.lax.bitcast_convert_type(sw[..., 1], jnp.float32)
+        else:
+            snd = csr.senders[eid]  # [Fb, f] global sender ids
+            w_raw = csr.edge_weight[eid]
+        w = jnp.where(evalid, w_raw, 0.0)
 
         # receivers: this frontier's locals, broadcast per draw slot
         rloc = jnp.broadcast_to(
@@ -245,30 +260,42 @@ def device_sample(
         ).reshape(-1)
         evalid_flat = evalid.reshape(-1)
         cand = jnp.where(evalid_flat, snd.reshape(-1), N)  # N = sentinel
+        L = int(cand.shape[0])
 
-        # within-hop dedup + new-node discovery (ascending global id)
-        known = jnp.where(
-            cand < N, relabel[jnp.minimum(cand, N - 1)] >= 0, True
+        # within-hop dedup + new-node discovery (ascending global id).
+        # The pairs sort carries the source position along, so fresh
+        # locals scatter straight back to their edge slots — no second
+        # relabel-table gather, and no table scatter at all on the LAST
+        # hop (nothing reads the table after it).
+        r_known = relabel[jnp.minimum(cand, N - 1)]
+        known = jnp.where(cand < N, r_known >= 0, True)
+        fresh_sorted, order = jax.lax.sort(
+            (jnp.where(known, N, cand), jnp.arange(L, dtype=i32)),
+            num_keys=1,
         )
-        fresh_sorted = jnp.sort(jnp.where(known, N, cand))
         first = fresh_sorted < N
         first = first & jnp.concatenate(
             [jnp.ones(1, bool), fresh_sorted[1:] != fresh_sorted[:-1]]
         )
         prefix = jnp.cumsum(first.astype(i32))
-        loc_new = n_sofar + prefix - 1
-        relabel = relabel.at[jnp.where(first, fresh_sorted, N)].set(
-            loc_new, mode="drop"
-        )
+        loc_new = n_sofar + prefix - 1  # same value for every duplicate
+        if h + 1 < len(fanout):
+            relabel = relabel.at[jnp.where(first, fresh_sorted, N)].set(
+                loc_new, mode="drop"
+            )
         all_nodes = all_nodes.at[
             jnp.where(first, loc_new, node_budget)
         ].set(fresh_sorted, mode="drop")
         base = n_sofar  # fill value: > every previous receiver local
         n_sofar = n_sofar + prefix[-1]
 
-        # sender locals (lookup AFTER the scatter so fresh ids resolve);
-        # invalid draws become weight-0 self-edges on the receiver slot
-        snd_loc = relabel[jnp.minimum(cand, N - 1)]
+        # sender locals: known ones from the (single) table gather,
+        # fresh ones via the positional scatter; invalid draws become
+        # weight-0 self-edges on the receiver slot
+        loc_at_pos = jnp.zeros(L, i32).at[order].set(
+            jnp.where(fresh_sorted < N, loc_new, 0)
+        )
+        snd_loc = jnp.where(known, r_known, loc_at_pos)
         snd_final = jnp.where(evalid_flat, snd_loc, rloc)
         senders_parts.append(snd_final)
         receivers_parts.append(rloc)
@@ -552,6 +579,29 @@ def device_sampled_gcn(
 
     csr = DeviceGraphCSR.from_graph(graph)
     inner = BlockedNodeGCN(
+        in_channels=int(graph.node_features.shape[1]),
+        hidden_dim=hidden_dim,
+        num_classes=num_classes,
+        num_layers=len(tuple(fanout)),
+        dropout=dropout,
+    )
+    return DeviceSampledModel(csr, inner, fanout)
+
+
+def device_sampled_sage(
+    graph: ConnectomeGraph,
+    *,
+    hidden_dim: int = 64,
+    num_classes: int = 2,
+    fanout: Sequence[int] = (10, 10),
+    dropout: float = 0.0,
+) -> DeviceSampledModel:
+    """Convenience: upload ``graph`` and wrap a matching ``NodeSAGE``
+    through the blocked aggregation path (``num_layers = len(fanout)``)."""
+    from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
+
+    csr = DeviceGraphCSR.from_graph(graph)
+    inner = BlockedNodeSAGE(
         in_channels=int(graph.node_features.shape[1]),
         hidden_dim=hidden_dim,
         num_classes=num_classes,

@@ -5,7 +5,8 @@ from connectome_gnn_tpu.models.connectome import (
     GCNConnectome,
     GraphSAGEConnectome,
 )
-from connectome_gnn_tpu.models.node_coo import (BlockedNodeGCN, NodeGCN,
+from connectome_gnn_tpu.models.node_coo import (BlockedNodeGCN,
+                                                 BlockedNodeSAGE, NodeGCN,
                                                  NodeSAGE)
 from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
 from connectome_gnn_tpu.models.node_sage import BandedNodeSAGE
@@ -19,6 +20,7 @@ from connectome_gnn_tpu.models.layers import (
 __all__ = [
     "BandedNodeGCN",
     "BlockedNodeGCN",
+    "BlockedNodeSAGE",
     "NodeGCN",
     "NodeSAGE",
     "BandedNodeSAGE",

@@ -161,6 +161,44 @@ def sage_layer_apply(
     return jax.nn.relu(dense_apply(params, combined))
 
 
+def sage_layer_apply_blocked(
+    params: dict,
+    x: jnp.ndarray,
+    hop_blocks,
+    num_seeds: int,
+) -> jnp.ndarray:
+    """:func:`sage_layer_apply` over the device sampler's per-hop
+    [frontier, fanout] blocks — same math, fewer random-access passes.
+
+    In the blocked layout every hop's receivers are blockwise-constant
+    (and each local node receives edges in exactly ONE hop — the hop
+    whose frontier discovered it), so the weighted-mean numerator and
+    denominator reduce per block row (``einsum`` / row-sum) and land via
+    a frontier-count scatter; hop 0's lands via a pure slice.  Only the
+    sender-side feature gather (and its backward scatter), which exist
+    in any layout, remain at edge count.  Numerics match the flat path
+    up to summation order.
+    """
+    num_nodes = x.shape[0]
+    msg = jnp.zeros(x.shape, jnp.float32)
+    w_sum = jnp.zeros((num_nodes,), jnp.float32)
+    for h, b in enumerate(hop_blocks):
+        part = jnp.einsum(
+            "bf,bfc->bc", b.weights, x[b.senders],
+            preferred_element_type=jnp.float32,
+        )
+        wrow = jnp.sum(b.weights, axis=1)
+        if h == 0:
+            msg = msg.at[:num_seeds].add(part)
+            w_sum = w_sum.at[:num_seeds].add(wrow)
+        else:
+            msg = msg.at[b.recv].add(part)
+            w_sum = w_sum.at[b.recv].add(wrow)
+    agg = msg / (w_sum + EPS)[:, None]
+    combined = jnp.concatenate([x, agg], axis=1)
+    return jax.nn.relu(dense_apply(params, combined))
+
+
 # ---------------------------------------------------------------------------
 # Dense (MXU) variants — same math over the [B, n, n] adjacency layout
 # ---------------------------------------------------------------------------

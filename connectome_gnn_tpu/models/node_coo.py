@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from connectome_gnn_tpu.data.sampled import SampledNodeBatch
-from connectome_gnn_tpu.models.layers import gcn_layer_apply, sage_layer_apply
+from connectome_gnn_tpu.models.layers import (gcn_layer_apply,
+                                              gcn_layer_apply_blocked,
+                                              sage_layer_apply,
+                                              sage_layer_apply_blocked)
 from connectome_gnn_tpu.models.node_gcn import init_node_gcn_params
 from connectome_gnn_tpu.models.node_sage import init_node_sage_params
 from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply, dropout
@@ -36,7 +39,17 @@ from connectome_gnn_tpu.nn.layers import batch_norm_apply, dense_apply, dropout
 
 class _NodeModel:
     """Shared skeleton: L convolutions + masked BatchNorm + per-node head,
-    logits at the seed slots."""
+    logits at the seed slots.
+
+    ``Blocked*`` subclasses set ``_blocked_layer_apply``; when the batch
+    carries the device sampler's per-hop ``hop_blocks``, the convolution
+    runs through it (reshape-sums + frontier-count scatters instead of
+    edge-count scatter/gather — see
+    :func:`~connectome_gnn_tpu.models.layers.gcn_layer_apply_blocked`),
+    falling back to the flat COO path otherwise.  Same parameters, same
+    math up to summation order; checkpoints are interchangeable."""
+
+    _blocked_layer_apply = None
 
     def __init__(
         self,
@@ -63,6 +76,10 @@ class _NodeModel:
         axis_name: Optional[str] = None,
     ) -> tuple[jnp.ndarray, dict]:
         """Per-seed logits ``[num_seeds, C]`` plus updated BN state."""
+        blocked = (
+            self._blocked_layer_apply is not None
+            and batch.hop_blocks is not None
+        )
         x = batch.node_features
         new_norms = []
         drop_keys = (
@@ -71,13 +88,19 @@ class _NodeModel:
             else [None] * self.num_layers
         )
         for i in range(self.num_layers):
-            x = self._layer_apply(
-                params["convs"][i],
-                x,
-                batch.senders,
-                batch.receivers,
-                batch.edge_weight,
-            )
+            if blocked:
+                x = self._blocked_layer_apply(
+                    params["convs"][i], x, batch.hop_blocks,
+                    batch.num_seeds,
+                )
+            else:
+                x = self._layer_apply(
+                    params["convs"][i],
+                    x,
+                    batch.senders,
+                    batch.receivers,
+                    batch.edge_weight,
+                )
             x, bn_state = batch_norm_apply(
                 params["norms"][i],
                 state["norms"][i],
@@ -115,59 +138,11 @@ class NodeGCN(_NodeModel):
 
 class BlockedNodeGCN(NodeGCN):
     """`NodeGCN` that aggregates through the device sampler's per-hop
-    [frontier, fanout] blocks when the batch carries them
-    (``batch.hop_blocks``), falling back to the flat COO path otherwise.
+    [frontier, fanout] blocks when the batch carries them (see
+    :class:`_NodeModel`); checkpoints are interchangeable with
+    :class:`NodeGCN`."""
 
-    Same parameters, same math up to summation order — the blocked
-    layout turns the per-layer edge-count scatter (forward) and gather
-    (backward) into reshape-sums plus frontier-count scatters (see
-    :func:`~connectome_gnn_tpu.models.layers.gcn_layer_apply_blocked`).
-    Checkpoints are interchangeable with :class:`NodeGCN`.
-    """
-
-    def apply(
-        self,
-        params: dict,
-        state: dict,
-        batch: SampledNodeBatch,
-        *,
-        train: bool = False,
-        rng: Optional[jax.Array] = None,
-        axis_name: Optional[str] = None,
-    ) -> tuple[jnp.ndarray, dict]:
-        if batch.hop_blocks is None:
-            return super().apply(
-                params, state, batch, train=train, rng=rng,
-                axis_name=axis_name,
-            )
-        from connectome_gnn_tpu.models.layers import gcn_layer_apply_blocked
-
-        x = batch.node_features
-        new_norms = []
-        drop_keys = (
-            jax.random.split(rng, self.num_layers)
-            if (train and rng is not None)
-            else [None] * self.num_layers
-        )
-        for i in range(self.num_layers):
-            x = gcn_layer_apply_blocked(
-                params["convs"][i], x, batch.hop_blocks, batch.num_seeds
-            )
-            x, bn_state = batch_norm_apply(
-                params["norms"][i],
-                state["norms"][i],
-                x,
-                batch.node_mask,
-                train=train,
-                axis_name=axis_name,
-            )
-            new_norms.append(bn_state)
-            x = jax.nn.relu(x)
-            x = dropout(drop_keys[i], x, self.dropout, train=train)
-        logits = dense_apply(params["head"], x[: batch.num_seeds])
-        return logits, {"norms": new_norms}
-
-    __call__ = apply
+    _blocked_layer_apply = staticmethod(gcn_layer_apply_blocked)
 
 
 class NodeSAGE(_NodeModel):
@@ -182,3 +157,12 @@ class NodeSAGE(_NodeModel):
             key, self.in_channels, self.hidden_dim, self.num_classes,
             self.num_layers,
         )
+
+
+class BlockedNodeSAGE(NodeSAGE):
+    """`NodeSAGE` that aggregates through the device sampler's per-hop
+    [frontier, fanout] blocks when the batch carries them (see
+    :class:`_NodeModel`); checkpoints are interchangeable with
+    :class:`NodeSAGE`."""
+
+    _blocked_layer_apply = staticmethod(sage_layer_apply_blocked)

@@ -357,6 +357,57 @@ class TestBlockedAggregation:
         for a, c in zip(jax.tree.leaves(gb), jax.tree.leaves(gf)):
             assert jnp.allclose(a, c, rtol=1e-4, atol=1e-5)
 
+    def test_sage_logits_and_grads_match_flat_path(self):
+        import dataclasses
+
+        import optax
+
+        from connectome_gnn_tpu.models import BlockedNodeSAGE
+
+        _, _, b = self._sampled()
+        model = BlockedNodeSAGE(in_channels=5, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.key(0))
+        S = b.num_seeds
+        labels = jnp.asarray(np.random.default_rng(0).integers(0, 2, S))
+        mask = jnp.ones(S, bool)
+        b = dataclasses.replace(
+            b, labels=labels, label_mask=mask, seed_mask=mask
+        )
+        flat = dataclasses.replace(b, hop_blocks=None)
+
+        def loss(p, batch):
+            logits, _ = model.apply(p, state, batch, train=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch.labels
+            ).mean()
+
+        lb, gb = jax.value_and_grad(loss)(params, b)
+        lf, gf = jax.value_and_grad(loss)(params, flat)
+        assert jnp.allclose(lb, lf, rtol=1e-5, atol=1e-6)
+        for a, c in zip(jax.tree.leaves(gb), jax.tree.leaves(gf)):
+            assert jnp.allclose(a, c, rtol=1e-4, atol=1e-5)
+
+    def test_sage_trainer_learns_through_blocked_path(self):
+        from connectome_gnn_tpu.data import device_sampled_sage
+
+        g = _graph(n=1024, degree=6, shortcut_frac=0.1)
+        src, dst = g.edge_index
+        num = np.zeros(1024)
+        den = np.zeros(1024)
+        np.add.at(num, dst, g.edge_weight * g.node_features[src, 0])
+        np.add.at(den, dst, g.edge_weight)
+        labels = ((num / (den + 1e-8)) > 0).astype(np.int32)
+        model = device_sampled_sage(g, hidden_dim=32, fanout=(8, 8))
+        tr = model.make_loader(
+            np.arange(1024), labels, batch_size=128, seed=0, drop_last=True
+        )
+        va = model.make_loader(
+            np.arange(1024), labels, batch_size=128, seed=1, shuffle=False
+        )
+        t = Trainer(model, seed=0)
+        h = t.fit(tr, va, num_epochs=10, patience=20, verbose=False)
+        assert h["val_acc"][-1] > 0.72
+
     def test_trainer_convergence_through_blocked_path(self):
         # the fused Trainer path (device_sampled_gcn now returns a
         # BlockedNodeGCN inner) still learns the 1-hop task
