@@ -1092,7 +1092,8 @@ def bench_sampled_train(num_nodes=262_144, degree=16, batch=1024,
 
 
 def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
-                               fanout=(10, 10), steps=30, family="gcn"):
+                               fanout=(10, 10), steps=30, family="gcn",
+                               dedup=True):
     """Config SD: end-to-end sampled training with DEVICE-SIDE sampling.
 
     The graph (CSR + features) is resident in HBM
@@ -1109,8 +1110,12 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
     from connectome_gnn_tpu.train import Trainer
 
     g, labels = _sampled_graph(num_nodes, degree)
-    make = device_sampled_gcn if family == "gcn" else device_sampled_sage
-    model = make(g, hidden_dim=64, fanout=fanout)
+    if family == "gcn":
+        model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    else:
+        model = device_sampled_sage(
+            g, hidden_dim=64, fanout=fanout, dedup=dedup
+        )
     loader = model.make_loader(
         np.arange(num_nodes), labels, batch_size=batch, seed=0,
         drop_last=True,
@@ -1136,7 +1141,8 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
     @_jax.jit
     def _count(csr, seeds, key_data):
         s = device_sample(
-            csr, seeds, _jax.random.wrap_key_data(key_data), fanout
+            csr, seeds, _jax.random.wrap_key_data(key_data), fanout,
+            dedup=dedup,
         )
         return (s.edge_weight > 0).sum()
 
@@ -1321,6 +1327,10 @@ BENCHES = {
     "SDS": ("device-side sampled training, GraphSAGE family (blocked "
             "aggregation), 262k-node graph, 1024 seeds/step, fanout 10x10",
             lambda: bench_device_sampled_train(family="sage")),
+    "SDM": ("device-side sampled training, GraphSAGE MULTISET mode "
+            "(dedup=False: no relabel table / dedup sort, all locals "
+            "arithmetic), 262k-node graph, 1024 seeds/step, fanout 10x10",
+            lambda: bench_device_sampled_train(family="sage", dedup=False)),
     "SD2": ("device-side sampled training on the FULL north-star graph, "
             "1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
             lambda: bench_device_sampled_train(
@@ -1349,7 +1359,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SDS,SD2,SE,SE2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SDS,SDM,SD2,SE,SE2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

@@ -200,6 +200,8 @@ def device_sample(
     seeds: jnp.ndarray,
     key: jax.Array,
     fanout: Sequence[int],
+    *,
+    dedup: bool = True,
 ) -> SampledNodeBatch:
     """k-hop fanout sample as a pure jittable function (labels unset —
     :class:`DeviceSampledModel` splices them from the :class:`SeedBatch`).
@@ -207,7 +209,20 @@ def device_sample(
     ``seeds``: int32 ``[S]``, -1 for padding slots (they keep their local
     id so the head still reads ``x[:S]``, but have degree 0 and masked
     features).
+
+    ``dedup=False`` selects the MULTISET (node-wise sampling tree) mode:
+    every draw gets its own node slot, so there is no relabel table, no
+    known-check gather, and no dedup sort — the cheapest possible
+    sampling program at the same static budgets (the dedup buffers are
+    already sized for the no-dedup worst case).  Semantics follow the
+    node-wise GraphSAGE estimator: re-encountered nodes sample their
+    in-neighborhoods independently per occurrence, and BatchNorm batch
+    statistics weight nodes by occurrence count.  With ``fanout >=
+    max_in_degree`` every occurrence keeps every in-edge, so eval-mode
+    model outputs match the dedup mode exactly (tested).
     """
+    if not dedup:
+        return _device_sample_multiset(csr, seeds, key, fanout)
     N = csr.num_nodes
     E = csr.num_edges
     S = int(seeds.shape[0])
@@ -344,6 +359,112 @@ def device_sample(
     )
 
 
+def _device_sample_multiset(
+    csr: DeviceGraphCSR,
+    seeds: jnp.ndarray,
+    key: jax.Array,
+    fanout: Sequence[int],
+) -> SampledNodeBatch:
+    """No-dedup sampling: node slots are [seeds, hop-1 draws, hop-2
+    draws, ...] in emission order, so every local id is ARITHMETIC —
+    a draw's sender local is its own slot, its receiver local is its
+    frontier row's slot.  The only random-access passes left are the
+    degree lookup, the (sender, weight) fetch, and the feature gather.
+    """
+    N = csr.num_nodes
+    E = csr.num_edges
+    S = int(seeds.shape[0])
+    fanout = tuple(int(f) for f in fanout)
+    max_deg = max(csr.max_in_degree, max(fanout) if fanout else 1, 1)
+
+    i32 = jnp.int32
+    svalid = seeds >= 0
+    frontier = jnp.where(svalid, seeds, -1)  # global ids, -1 invalid
+    frontier_start = 0  # local id of the frontier's first slot
+    offset = S  # next unassigned local slot
+
+    all_nodes_parts = [frontier]
+    senders_parts, receivers_parts, weight_parts = [], [], []
+    hop_blocks: list[HopBlock] = []
+    for f in fanout:
+        key, sub = jax.random.split(key)
+        Fb = int(frontier.shape[0])
+        v = jnp.maximum(frontier, 0)
+        fvalid = frontier >= 0
+        deg = jnp.where(fvalid, csr.indptr[v + 1] - csr.indptr[v], 0)
+
+        u = jax.random.uniform(sub, (Fb, max_deg))
+        pos_ok = jnp.arange(max_deg, dtype=i32)[None, :] < deg[:, None]
+        scores = jnp.where(pos_ok, u, -1.0)
+        vals, pos = jax.lax.top_k(scores, min(f, max_deg))
+        evalid = vals >= 0.0  # [Fb, f]
+        eid = jnp.minimum(csr.indptr[v][:, None] + pos, E - 1)
+        if csr.sender_weight is not None:
+            sw = csr.sender_weight[eid]
+            snd = sw[..., 0]
+            w_raw = jax.lax.bitcast_convert_type(sw[..., 1], jnp.float32)
+        else:
+            snd = csr.senders[eid]
+            w_raw = csr.edge_weight[eid]
+        w = jnp.where(evalid, w_raw, 0.0)
+
+        evalid_flat = evalid.reshape(-1)
+        rloc_rows = frontier_start + jnp.arange(Fb, dtype=i32)
+        rloc = jnp.broadcast_to(
+            rloc_rows[:, None], evalid.shape
+        ).reshape(-1)
+        snd_slots = offset + jnp.arange(Fb * int(evalid.shape[1]),
+                                        dtype=i32)
+        # invalid draws: weight-0 self-edges on the receiver slot
+        snd_final = jnp.where(evalid_flat, snd_slots, rloc)
+        all_nodes_parts.append(
+            jnp.where(evalid_flat, snd.reshape(-1), -1)
+        )
+        senders_parts.append(snd_final)
+        receivers_parts.append(rloc)
+        weight_parts.append(w.reshape(-1))
+        hop_blocks.append(
+            HopBlock(
+                senders=snd_final.reshape(evalid.shape),
+                weights=w,
+                recv=rloc_rows,
+                sender_start=int(offset),
+                recv_start=int(frontier_start),
+            )
+        )
+        frontier = jnp.where(evalid_flat, snd.reshape(-1), -1)
+        frontier_start = offset
+        offset += Fb * int(evalid.shape[1])
+
+    all_nodes = jnp.concatenate(all_nodes_parts)
+    node_mask = all_nodes >= 0
+    x = jnp.where(
+        node_mask[:, None],
+        csr.node_features[jnp.clip(all_nodes, 0, N - 1)],
+        jnp.zeros((), csr.node_features.dtype),
+    )
+    zeros_s = jnp.zeros(S, i32)
+    return SampledNodeBatch(
+        node_features=x,
+        senders=jnp.concatenate(senders_parts)
+        if senders_parts
+        else jnp.zeros(0, i32),
+        receivers=jnp.concatenate(receivers_parts)
+        if receivers_parts
+        else jnp.zeros(0, i32),
+        edge_weight=jnp.concatenate(weight_parts)
+        if weight_parts
+        else jnp.zeros(0, jnp.float32),
+        node_mask=node_mask,
+        labels=zeros_s,
+        label_mask=zeros_s.astype(bool),
+        seed_mask=zeros_s.astype(bool),
+        node_ids=all_nodes,
+        num_seeds=S,
+        hop_blocks=tuple(hop_blocks) if hop_blocks else None,
+    )
+
+
 class DeviceSeedLoader:
     """Per-step :class:`SeedBatch` producer for device-side sampling.
 
@@ -420,11 +541,13 @@ class DeviceSampledModel:
     """
 
     def __init__(
-        self, csr: DeviceGraphCSR, inner, fanout: Sequence[int]
+        self, csr: DeviceGraphCSR, inner, fanout: Sequence[int],
+        *, dedup: bool = True,
     ):
         self.csr = csr
         self.inner = inner
         self.fanout = tuple(int(f) for f in fanout)
+        self.dedup = bool(dedup)
 
     def init(self, key: jax.Array):
         return self.inner.init(key)
@@ -450,7 +573,9 @@ class DeviceSampledModel:
         # request on this runtime and blow its size limit at giant scale
         csr = batch.csr if batch.csr is not None else self.csr
         key = jax.random.wrap_key_data(batch.key_data)
-        sampled = device_sample(csr, batch.seeds, key, self.fanout)
+        sampled = device_sample(
+            csr, batch.seeds, key, self.fanout, dedup=self.dedup
+        )
         sampled = SampledNodeBatch(
             node_features=sampled.node_features,
             senders=sampled.senders,
@@ -595,9 +720,17 @@ def device_sampled_sage(
     num_classes: int = 2,
     fanout: Sequence[int] = (10, 10),
     dropout: float = 0.0,
+    dedup: bool = True,
 ) -> DeviceSampledModel:
     """Convenience: upload ``graph`` and wrap a matching ``NodeSAGE``
-    through the blocked aggregation path (``num_layers = len(fanout)``)."""
+    through the blocked aggregation path (``num_layers = len(fanout)``).
+
+    ``dedup=False`` selects the multiset sampling mode (see
+    :func:`device_sample`) — valid for SAGE because its aggregation is a
+    receiver-side weighted mean, so duplicate sender slots change
+    nothing but BatchNorm occurrence weighting; GCN's sender-degree
+    normalization would change meaning, so only the SAGE family offers
+    it."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
 
     csr = DeviceGraphCSR.from_graph(graph)
@@ -608,4 +741,4 @@ def device_sampled_sage(
         num_layers=len(tuple(fanout)),
         dropout=dropout,
     )
-    return DeviceSampledModel(csr, inner, fanout)
+    return DeviceSampledModel(csr, inner, fanout, dedup=dedup)

@@ -43,11 +43,24 @@ class HopBlock(NamedTuple):
     layout.  Row b holds frontier slot b's draws: ``senders[b, :]``
     (local node ids; invalid draws point at the receiver itself with
     ``weights[b, :] == 0``), all received by local node ``recv[b]``.
-    Hop 0's ``recv`` is always ``arange(num_seeds)``."""
+    Hop 0's ``recv`` is always ``arange(num_seeds)``.
+
+    In the MULTISET sampling mode (``device_sample(..., dedup=False)``)
+    locals are arithmetic: real senders are their own draw slots
+    (``sender_start + arange(Fb*f)``) and receivers the frontier's slots
+    (``recv_start + arange(Fb)``).  The static ints let blocked layers
+    turn per-edge gathers/scatters into contiguous slices (weight-0
+    invalid draws make the slice read numerically inert).  ``None`` for
+    dedup-mode blocks — and ``None`` pytree nodes are EMPTY, so the
+    dedup-mode pytree structure is unchanged.  The ints survive as
+    statics only while the batch stays inside one jitted program (the
+    product path); consumers must treat traced values as absent."""
 
     senders: jnp.ndarray  # int32 [Fb, f]
     weights: jnp.ndarray  # float32 [Fb, f]
     recv: jnp.ndarray  # int32 [Fb]
+    sender_start: "int | None" = None
+    recv_start: "int | None" = None
 
 
 @pytree_dataclass

@@ -183,14 +183,30 @@ def sage_layer_apply_blocked(
     msg = jnp.zeros(x.shape, jnp.float32)
     w_sum = jnp.zeros((num_nodes,), jnp.float32)
     for h, b in enumerate(hop_blocks):
+        Fb, f = b.weights.shape
+        s0 = getattr(b, "sender_start", None)
+        if isinstance(s0, int):
+            # multiset mode: senders are the draws' own contiguous slots
+            # — a static slice, no random access.  Invalid draws read
+            # their own (zeroed) slot instead of the receiver row the
+            # flat path reads, but carry weight 0 either way.
+            xs = x[s0 : s0 + Fb * f].reshape(Fb, f, -1)
+        else:
+            xs = x[b.senders]
         part = jnp.einsum(
-            "bf,bfc->bc", b.weights, x[b.senders],
+            "bf,bfc->bc", b.weights, xs,
             preferred_element_type=jnp.float32,
         )
         wrow = jnp.sum(b.weights, axis=1)
+        r0 = getattr(b, "recv_start", None)
         if h == 0:
             msg = msg.at[:num_seeds].add(part)
             w_sum = w_sum.at[:num_seeds].add(wrow)
+        elif isinstance(r0, int):
+            # multiset mode: receivers are the frontier's contiguous
+            # slots — a static slice-add, no scatter
+            msg = msg.at[r0 : r0 + Fb].add(part)
+            w_sum = w_sum.at[r0 : r0 + Fb].add(wrow)
         else:
             msg = msg.at[b.recv].add(part)
             w_sum = w_sum.at[b.recv].add(wrow)

@@ -290,6 +290,83 @@ class TestTraining:
         assert abs(dh["val_acc"][-1] - hh["val_acc"][-1]) < 0.12
 
 
+class TestMultisetMode:
+    """dedup=False (node-wise sampling tree): every draw has its own
+    slot, all locals arithmetic.  For SAGE (receiver-side weighted mean)
+    the keep-all oracle is exact in eval mode; training semantics are
+    the node-wise GraphSAGE estimator."""
+
+    def test_keep_all_eval_logits_match_dedup(self):
+        from connectome_gnn_tpu.models import BlockedNodeSAGE, NodeSAGE
+
+        g = _graph()
+        csr = DeviceGraphCSR.from_graph(g)
+        F = csr.max_in_degree
+        seeds = jnp.asarray(np.array([5, 9, 70, 401], np.int32))
+        bm = device_sample(
+            csr, seeds, jax.random.PRNGKey(0), (F, F), dedup=False
+        )
+        bd = device_sample(
+            csr, seeds, jax.random.PRNGKey(0), (F, F), dedup=True
+        )
+        for model in (
+            NodeSAGE(in_channels=5, hidden_dim=16, num_layers=2),
+            BlockedNodeSAGE(in_channels=5, hidden_dim=16, num_layers=2),
+        ):
+            params, state = model.init(jax.random.PRNGKey(1))
+            lm, _ = model.apply(params, state, bm)
+            ld, _ = model.apply(params, state, bd)
+            assert jnp.allclose(lm, ld, rtol=1e-4, atol=1e-5)
+
+    def test_structure(self):
+        g = _graph(n=800, degree=10)
+        csr = DeviceGraphCSR.from_graph(g)
+        seeds = np.arange(16, dtype=np.int32) * 7
+        b = device_sample(
+            csr, jnp.asarray(seeds), jax.random.PRNGKey(3), (4, 4),
+            dedup=False,
+        )
+        r = np.asarray(b.receivers)
+        assert (np.diff(r) >= 0).all()
+        w = np.asarray(b.edge_weight)
+        s = np.asarray(b.senders)
+        pad = w == 0
+        assert (s[pad] == r[pad]).all()
+        ids = np.asarray(b.node_ids)
+        real = w > 0
+        gs, gd = g.edge_index
+        eset = set(zip(gs.tolist(), gd.tolist()))
+        for a, c in zip(ids[s[real]].tolist(), ids[r[real]].tolist()):
+            assert (a, c) in eset
+        # sender slots are the draws' own slots: each real sender local
+        # appears exactly once, and node slots beyond the seeds mirror
+        # the draw emission order
+        assert len(set(s[real].tolist())) == real.sum()
+
+    def test_trainer_learns_multiset_sage(self):
+        from connectome_gnn_tpu.data import device_sampled_sage
+
+        g = _graph(n=1024, degree=6, shortcut_frac=0.1)
+        src, dst = g.edge_index
+        num = np.zeros(1024)
+        den = np.zeros(1024)
+        np.add.at(num, dst, g.edge_weight * g.node_features[src, 0])
+        np.add.at(den, dst, g.edge_weight)
+        labels = ((num / (den + 1e-8)) > 0).astype(np.int32)
+        model = device_sampled_sage(
+            g, hidden_dim=32, fanout=(8, 8), dedup=False
+        )
+        tr = model.make_loader(
+            np.arange(1024), labels, batch_size=128, seed=0, drop_last=True
+        )
+        va = model.make_loader(
+            np.arange(1024), labels, batch_size=128, seed=1, shuffle=False
+        )
+        t = Trainer(model, seed=0)
+        h = t.fit(tr, va, num_epochs=10, patience=20, verbose=False)
+        assert h["val_acc"][-1] > 0.72
+
+
 class TestBlockedAggregation:
     """gcn_layer_apply_blocked / BlockedNodeGCN vs the flat COO path.
 
