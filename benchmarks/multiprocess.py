@@ -74,6 +74,7 @@ TOLERANCES = {
     "banded": 1e-4,
     "hybrid": 1e-4,
     "sampled_dp": 1e-4,
+    "device_sampled_dp": 1e-4,
     "trainer_fit": 2e-5 * TRAINER_FIT_OPT_STEPS,
 }
 
@@ -227,6 +228,73 @@ def run_sampled_dp(mesh, shard_range) -> dict:
         "comm_bytes_per_device_per_step": {
             "grad_allreduce": _tree_bytes(params),
             "bn_moment_psum": _bn_psum_bytes(16, 2),
+        },
+    }
+
+
+def run_device_sampled_dp(mesh, shard_range) -> dict:
+    """Two DEVICE-sampled DP train steps (VERDICT r3 #1): the CSR
+    replicates per process (each process builds its own copy from the
+    shared generator stream — nothing graph-sized crosses processes),
+    seed rows shard over the mesh, and sampling runs inside the shard_map
+    step.  Cross-process traffic is ONLY the gradient allreduce + sync-BN
+    moments — the whole point of the composition."""
+    import jax
+    import numpy as np
+    import optax
+
+    from connectome_gnn_tpu.data import (
+        device_sampled_gcn,
+        generate_spatial_graph,
+    )
+    from connectome_gnn_tpu.parallel import (
+        assemble_global,
+        make_device_sampled_dp_step,
+        replicate_csr,
+    )
+
+    D = TOTAL_DEVICES
+    g = generate_spatial_graph(64 * D, degree=6, band=16, seed=13,
+                               shortcut_frac=0.1)
+    labels = (g.degree() > np.median(g.degree())).astype(np.int32)
+    lo, hi = shard_range
+    per = hi - lo
+    model = device_sampled_gcn(g, hidden_dim=16, fanout=(4, 4))
+    loader = model.make_loader(
+        np.arange(g.num_nodes), labels, batch_size=8 * D, seed=7,
+        num_shards=D,
+        process_index=None if (lo, hi) == (0, D) else lo // per,
+        process_count=None if (lo, hi) == (0, D) else D // per,
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    csr = replicate_csr(model.csr, mesh)
+    raw_step = make_device_sampled_dp_step(model, opt, mesh)
+
+    def step(p, s, o, key, packed):
+        return raw_step(p, s, o, key, packed, csr)
+
+    losses = []
+    packed = None
+    it = iter(loader)
+    for i in range(2):
+        packed = assemble_global(next(it).packed, mesh, "data")
+        params, state, opt_state, loss, n = step(
+            params, state, opt_state, jax.random.PRNGKey(1), packed
+        )
+        losses.append(float(loss))
+    dt = _time_steps(step, params, state, opt_state, jax.random.PRNGKey(1),
+                     packed)
+    return {
+        "losses": losses,
+        "params_sum": _checksum(params),
+        "n": float(n),
+        "step_time_s": dt,
+        "comm_bytes_per_device_per_step": {
+            "grad_allreduce": _tree_bytes(params),
+            "bn_moment_psum": _bn_psum_bytes(16, 2),
+            # sampling is comm-free: the CSR is replicated, seeds local
         },
     }
 
@@ -402,6 +470,7 @@ PROGRAMS = {
     "banded": run_banded,
     "hybrid": run_hybrid,
     "sampled_dp": run_sampled_dp,
+    "device_sampled_dp": run_device_sampled_dp,
     "trainer_fit": run_trainer_fit,
 }
 
@@ -422,6 +491,7 @@ def run_all(shard_range) -> dict:
     results["banded"] = run_banded(mesh_edge, shard_range)
     results["hybrid"] = run_hybrid(mesh_edge, shard_range)
     results["sampled_dp"] = run_sampled_dp(mesh_dp, shard_range)
+    results["device_sampled_dp"] = run_device_sampled_dp(mesh_dp, shard_range)
     results["trainer_fit"] = run_trainer_fit(mesh_dp, shard_range)
     return results
 

@@ -1176,6 +1176,86 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
     }
 
 
+def bench_device_sampled_dp(num_nodes=262_144, degree=16, batch=1024,
+                            fanout=(10, 10), steps=30):
+    """Config SDP: device-sampled training COMPOSED with the DP mesh
+    layer (VERDICT r3 #1): CSR replicated over a ``("data",)`` mesh of
+    every visible device, stacked seed rows sharded, sampling fused into
+    the shard_map step (`parallel/sampled_dp.py`), driven through the
+    mesh-mode Trainer exactly as a user would.  On this rig the mesh has
+    ONE real chip — the number measures the composed path's overhead vs
+    config SD (shard_map + stacked loader + replicated-csr plumbing);
+    the N>1 numerics/comm side is proven in benchmarks/multiprocess.py
+    (device_sampled_dp program, gloo)."""
+    import numpy as np
+
+    from connectome_gnn_tpu.data import device_sampled_gcn
+    from connectome_gnn_tpu.parallel import create_mesh
+    from connectome_gnn_tpu.train import Trainer
+
+    g, labels = _sampled_graph(num_nodes, degree)
+    model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    mesh = create_mesh(axis_names=("data",))
+    D = int(mesh.shape["data"])
+    loader = model.make_loader(
+        np.arange(num_nodes), labels, batch_size=batch, seed=0,
+        num_shards=D, drop_last=True,
+    )
+    trainer = Trainer(model, mesh=mesh, prefetch_depth=2)
+    it = trainer._iterate(loader)
+
+    def one(b):
+        step = trainer._device_sampled_dp_step(b.labeled, train=True)
+        trainer._rng, key = jax.random.split(trainer._rng)
+        (trainer.params, trainer.state, trainer.opt_state, loss, _, _,
+         ) = step(
+            trainer.params, trainer.state, trainer.opt_state, key,
+            b.packed, trainer._replicated_csr(b),
+        )
+        return loss
+
+    # sampled-edge count: same jitted counter as SD, per shard row
+    from connectome_gnn_tpu.data import device_sample
+    from connectome_gnn_tpu.data.device_sampling import SeedBatch
+
+    @jax.jit
+    def _count(csr, seeds, key_data):
+        s = device_sample(
+            csr, seeds, jax.random.wrap_key_data(key_data), fanout
+        )
+        return (s.edge_weight > 0).sum()
+
+    edges = 0.0
+    sb = next(iter(model.make_loader(
+        np.arange(num_nodes), labels, batch_size=batch, seed=9,
+        num_shards=D, drop_last=True,
+    )))
+    for row in np.asarray(sb.packed):
+        rb = SeedBatch(packed=jnp.asarray(row), num_seeds=sb.num_seeds)
+        edges += _fetch(_count(model.csr, rb.seeds, rb.key_data))
+
+    for _ in range(3):  # compile + warm
+        _fetch(one(next(it)))
+    steps = min(steps, num_nodes // batch - 4)
+    t0 = time.perf_counter()
+    loss = None
+    for _ in range(steps):
+        loss = one(next(it))
+    _fetch(loss)
+    dt = (time.perf_counter() - t0) / steps
+    if hasattr(it, "close"):
+        it.close()
+    return {
+        "ms_per_step": dt * 1e3,
+        "steps_per_s": 1.0 / dt,
+        "seed_nodes_per_s": batch / dt,
+        "sampled_edges_per_s": edges / dt,
+        "avg_sampled_edges": edges,
+        "mesh_devices": D,
+        "num_nodes": num_nodes,
+    }
+
+
 def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
                                fanout=(10, 10), max_steps=256):
     """Config SE: WHOLE-EPOCH-on-device sampled training.
@@ -1251,6 +1331,21 @@ def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
         edges += _fetch(_count(model.csr, sb.seeds, sb.key_data))
     edges /= 3.0
 
+    # the PRODUCT path (VERDICT r3 #7): Trainer(scan_epochs=True) drives
+    # the same scanned program through train_epoch — pack + transfer +
+    # dispatch + epoch-end sync, measured as a user would hit it
+    from connectome_gnn_tpu.train import Trainer
+
+    trainer = Trainer(model, scan_epochs=True)
+    t_loader = model.make_loader(
+        np.arange(steps * batch), labels, batch_size=batch, seed=0,
+        drop_last=True,
+    )
+    trainer.train_epoch(t_loader)  # compile + warm
+    t0 = time.perf_counter()
+    trainer.train_epoch(t_loader)
+    trainer_s = time.perf_counter() - t0
+
     return {
         "ms_per_step": dt * 1e3,
         "steps_per_s": 1.0 / dt,
@@ -1260,6 +1355,8 @@ def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
         "epoch_ms_end_to_end": epoch_s * 1e3,
         "epoch_steps": steps,
         "ms_per_step_end_to_end": epoch_s * 1e3 / steps,
+        "trainer_epoch_ms": trainer_s * 1e3,
+        "trainer_ms_per_step": trainer_s * 1e3 / steps,
         "num_nodes": num_nodes,
     }
 
@@ -1335,6 +1432,15 @@ BENCHES = {
             "1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
             lambda: bench_device_sampled_train(
                 num_nodes=1 << 20, degree=38)),
+    "SDP": ("device-sampled training through the DP MESH composition "
+            "(stacked seed shards, replicated CSR, shard_map step via "
+            "mesh-mode Trainer), 262k-node graph, 1024 seeds/step, "
+            "fanout 10x10",
+            bench_device_sampled_dp),
+    "SDP2": ("device-sampled DP-mesh training on the FULL north-star "
+             "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
+             lambda: bench_device_sampled_dp(
+                 num_nodes=1 << 20, degree=38)),
     "SE": ("WHOLE-EPOCH-on-device sampled training (lax.scan over packed "
            "seed chunks, one transfer + one dispatch per epoch), 262k-node "
            "graph, 1024 seeds/step, fanout 10x10",
@@ -1359,7 +1465,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SDS,SDM,SD2,SE,SE2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

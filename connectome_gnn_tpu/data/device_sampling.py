@@ -12,7 +12,20 @@ batches: the CSR adjacency, features, and weights are uploaded ONCE
 training step receives only a ~8 KB :class:`SeedBatch` (seed ids + PRNG
 key + labels, packed into a single int32 buffer = one transfer, one
 dispatch).  Sampling, dedup, relabeling, feature gather, and the train
-step all fuse into one XLA program.
+step all fuse into one XLA program.  Resident bytes at 1M nodes / 44M
+edges: indptr 4 MB + packed (sender, weight) pairs 352 MB + features
+256 MB ≈ 0.61 GB (the flat senders/edge_weight arrays are NOT kept when
+the packed pairs are — they would nearly double edge storage).
+
+Data parallelism composes at the SEED level: the CSR replicates per
+device (it is already device-resident), and only the ~8 KB seed payload
+is sharded — :class:`DeviceSeedLoader` takes the same ``num_shards`` /
+``process_index``/``process_count`` modes as
+:class:`~connectome_gnn_tpu.data.sampled.SampledNodeLoader`, yielding
+stacked ``[D, 3+2S]`` packed buffers for the shard_map DP step
+(:func:`~connectome_gnn_tpu.parallel.sampled_dp.
+make_device_sampled_dp_step`); the :class:`~connectome_gnn_tpu.train.
+Trainer` in mesh mode dispatches these automatically.
 
 Sampling semantics match the host samplers (``data/sampling.py``):
 GraphSAGE-style hop expansion over in-edges, up to ``fanout[h]`` sampled
@@ -59,20 +72,21 @@ from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
 class DeviceGraphCSR:
     """Receiver-grouped CSR adjacency resident on device.
 
-    ``senders[indptr[v] : indptr[v+1]]`` are the in-neighbors of ``v``
-    (edge weights aligned).  ``max_in_degree`` bounds the per-node
-    uniform-draw buffer (static).
+    Adjacency is held EITHER as packed ``sender_weight`` [E, 2] rows of
+    (sender id, bitcast f32 weight) — the default: the sampler is bound
+    by ~11-14 ns/row HBM latency (SAMPLE_DECOMP_r03.json), so one 8-byte
+    random-access pass beats two 4-byte ones — OR as flat ``senders`` /
+    ``edge_weight`` arrays (``from_graph(packed=False)``).  Keeping both
+    would nearly double edge storage (+~350 MB at 44M edges) for no
+    reader.  ``max_in_degree`` bounds the per-node uniform-draw buffer
+    (static).
     """
 
     indptr: jnp.ndarray  # int32 [N+1]
-    senders: jnp.ndarray  # int32 [E], grouped by receiver
-    edge_weight: jnp.ndarray  # float32 [E]
     node_features: jnp.ndarray  # float32 [N, F]
-    # [E, 2] rows of (sender id, bitcast f32 weight): lets the sampler
-    # fetch both with ONE random-access pass — the step is bound by
-    # ~11-14 ns/row HBM latency (SAMPLE_DECOMP_r03.json), so two 4-byte
-    # gathers at the same indices cost twice one 8-byte gather.
-    sender_weight: Optional[jnp.ndarray] = None
+    senders: Optional[jnp.ndarray] = None  # int32 [E], grouped by recv
+    edge_weight: Optional[jnp.ndarray] = None  # float32 [E]
+    sender_weight: Optional[jnp.ndarray] = None  # int32 [E, 2] packed
     max_in_degree: int = static_field(default=0)
 
     @property
@@ -81,10 +95,14 @@ class DeviceGraphCSR:
 
     @property
     def num_edges(self) -> int:
-        return int(self.senders.shape[0])
+        if self.senders is not None:
+            return int(self.senders.shape[0])
+        return int(self.sender_weight.shape[0])
 
     @classmethod
-    def from_graph(cls, graph: ConnectomeGraph) -> "DeviceGraphCSR":
+    def from_graph(
+        cls, graph: ConnectomeGraph, *, packed: bool = True
+    ) -> "DeviceGraphCSR":
         """One-time host prep (receiver sort) + upload."""
         src, dst = graph.edge_index
         order = np.argsort(dst, kind="stable")
@@ -94,17 +112,20 @@ class DeviceGraphCSR:
         np.cumsum(counts, out=indptr[1:])
         snd = src[order].astype(np.int32)
         w = graph.edge_weight[order].astype(np.float32)
+        adjacency = (
+            dict(sender_weight=jnp.asarray(
+                np.stack([snd, w.view(np.int32)], axis=1)
+            ))
+            if packed
+            else dict(senders=jnp.asarray(snd), edge_weight=jnp.asarray(w))
+        )
         return cls(
             indptr=jnp.asarray(indptr),
-            senders=jnp.asarray(snd),
-            edge_weight=jnp.asarray(w),
             node_features=jnp.asarray(
                 graph.node_features.astype(np.float32)
             ),
-            sender_weight=jnp.asarray(
-                np.stack([snd, w.view(np.int32)], axis=1)
-            ),
             max_in_degree=int(counts.max()) if counts.size else 0,
+            **adjacency,
         )
 
 
@@ -120,38 +141,53 @@ class SeedBatch:
 
     ``csr`` (optional) carries the device-resident graph as pytree
     LEAVES of the batch.  This matters on remote runtimes: a jitted step
-    that merely closed over the CSR would embed ~0.4 GB of constants in
+    that merely closed over the CSR would embed ~0.6 GB of constants in
     the program — this rig's remote-compile endpoint rejects that with
     HTTP 413 at the 1M-node scale.  As arguments the arrays cost nothing
     per call (they already live on device).
+
+    A STACKED batch (sharded :class:`DeviceSeedLoader`) carries a
+    ``[D, 3 + 2·num_seeds]`` packed buffer — one row per mesh shard,
+    each with its own sampling key; the ``csr`` stays un-stacked
+    (replicated, not one copy per shard).  All properties broadcast over
+    the leading axis via ``...`` indexing.
     """
 
-    packed: jnp.ndarray  # int32 [3 + 2 * num_seeds]
+    packed: jnp.ndarray  # int32 [3 + 2 * num_seeds] (or [D, ...] stacked)
     csr: Optional["DeviceGraphCSR"] = None
     num_seeds: int = static_field(default=0)
     labeled: bool = static_field(default=True)
 
     @property
+    def stacked(self) -> bool:
+        return self.packed.ndim == 2
+
+    @property
     def seeds(self) -> jnp.ndarray:
-        return self.packed[3 : 3 + self.num_seeds]
+        return self.packed[..., 3 : 3 + self.num_seeds]
 
     @property
     def key_data(self) -> jnp.ndarray:
-        return jax.lax.bitcast_convert_type(self.packed[1:3], jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            self.packed[..., 1:3], jnp.uint32
+        )
 
     @property
     def seed_mask(self) -> jnp.ndarray:
-        return jnp.arange(self.num_seeds, dtype=jnp.int32) < self.packed[0]
+        return (
+            jnp.arange(self.num_seeds, dtype=jnp.int32)
+            < self.packed[..., 0:1]
+        )
 
     @property
     def label_mask(self) -> jnp.ndarray:
         if not self.labeled:
-            return jnp.zeros(self.num_seeds, bool)
+            return jnp.zeros(self.seed_mask.shape, bool)
         return self.seed_mask
 
     @property
     def labels(self) -> jnp.ndarray:
-        raw = self.packed[3 + self.num_seeds : 3 + 2 * self.num_seeds]
+        raw = self.packed[..., 3 + self.num_seeds : 3 + 2 * self.num_seeds]
         return jnp.where(self.label_mask, raw, 0)
 
     @property
@@ -474,6 +510,26 @@ class DeviceSeedLoader:
     resume replay) but yields only seed payloads — the graph never
     leaves the device, so there is nothing else to produce.  Host work
     per step: one permutation slice + one ~8 KB packed buffer.
+
+    Parameters (sharding)
+    ---------------------
+    num_shards
+        When set, ``batch_size`` is the GLOBAL seed count per step and
+        each yielded :class:`SeedBatch` is STACKED: ``packed`` is
+        ``[num_shards, 3 + 2·S]`` with ``S = batch_size / num_shards``
+        seeds per shard, each row carrying its own sampling key
+        (streams keyed by GLOBAL shard index, exactly like
+        ``SampledNodeLoader``).  The ``csr`` rides along un-stacked —
+        it replicates per device, only seeds shard.  Feed these to the
+        mesh-mode :class:`~connectome_gnn_tpu.train.Trainer` or to
+        :func:`~connectome_gnn_tpu.parallel.sampled_dp.
+        make_device_sampled_dp_step`.
+    process_index / process_count
+        Multi-process data sharding: each yielded batch stacks only this
+        process's contiguous ``num_shards / process_count`` rows; all
+        processes agree on the global batch without coordination (lift
+        with :func:`~connectome_gnn_tpu.parallel.distributed.
+        assemble_global` — the Trainer does this automatically).
     """
 
     def __init__(
@@ -486,6 +542,9 @@ class DeviceSeedLoader:
         seed: int = 0,
         drop_last: bool = False,
         csr: Optional[DeviceGraphCSR] = None,
+        num_shards: Optional[int] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.csr = csr
         self.seeds = np.asarray(seed_pool, np.int64)
@@ -499,6 +558,42 @@ class DeviceSeedLoader:
         self.seed = int(seed)
         self.drop_last = bool(drop_last)
         self._epoch = 0
+
+        self.num_shards = int(num_shards) if num_shards is not None else None
+        if self.num_shards is not None and self.batch_size % self.num_shards:
+            raise ValueError(
+                f"batch_size={self.batch_size} not divisible by "
+                f"num_shards={self.num_shards}"
+            )
+        self._shard_size = (
+            self.batch_size // self.num_shards
+            if self.num_shards is not None
+            else self.batch_size
+        )
+        if (process_index is None) != (process_count is None):
+            raise ValueError(
+                "process_index and process_count must be given together"
+            )
+        if process_count is not None:
+            if self.num_shards is None:
+                raise ValueError("process sharding requires num_shards")
+            if self.num_shards % process_count:
+                raise ValueError(
+                    f"num_shards={self.num_shards} not divisible by "
+                    f"process_count={process_count}"
+                )
+            if not 0 <= process_index < process_count:
+                raise ValueError(
+                    f"process_index={process_index} out of range "
+                    f"[0, {process_count})"
+                )
+            per = self.num_shards // process_count
+            self._shard_lo, self._shard_hi = (
+                process_index * per,
+                (process_index + 1) * per,
+            )
+        else:
+            self._shard_lo, self._shard_hi = 0, self.num_shards or 0
 
     def __len__(self) -> int:
         n = len(self.seeds)
@@ -522,13 +617,31 @@ class DeviceSeedLoader:
             chunk = seeds[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            yield make_seed_batch(
-                chunk,
-                self.node_labels,
-                _sample_seed(self.seed, epoch, b),
-                self.batch_size,
-                csr=self.csr,
-            )
+            if self.num_shards is None:
+                yield make_seed_batch(
+                    chunk,
+                    self.node_labels,
+                    _sample_seed(self.seed, epoch, b),
+                    self.batch_size,
+                    csr=self.csr,
+                )
+            else:
+                ss = self._shard_size
+                rows = np.stack([
+                    _pack_seed_row(
+                        chunk[s * ss : (s + 1) * ss],
+                        self.node_labels,
+                        _sample_seed(self.seed, epoch, b, s),
+                        ss,
+                    )
+                    for s in range(self._shard_lo, self._shard_hi)
+                ])
+                yield SeedBatch(
+                    packed=jnp.asarray(rows),
+                    csr=self.csr,
+                    num_seeds=ss,
+                    labeled=self.node_labels is not None,
+                )
 
 
 class DeviceSampledModel:
@@ -548,6 +661,20 @@ class DeviceSampledModel:
         self.inner = inner
         self.fanout = tuple(int(f) for f in fanout)
         self.dedup = bool(dedup)
+        if not self.dedup:
+            # Multiset (dedup=False) sampling gives every draw its own
+            # node slot; GCN-family layers normalize by SENDER degree, so
+            # duplicated sender slots silently change the estimator.
+            # SAGE's receiver-side weighted mean is invariant to the
+            # duplication (see device_sampled_sage) — restrict to it.
+            from connectome_gnn_tpu.models.node_coo import NodeGCN
+
+            if isinstance(inner, NodeGCN):
+                raise ValueError(
+                    "dedup=False (multiset sampling) is only valid for "
+                    "the SAGE family: GCN sender-degree normalization "
+                    "changes meaning under duplicated sender slots"
+                )
 
     def init(self, key: jax.Array):
         return self.inner.init(key)

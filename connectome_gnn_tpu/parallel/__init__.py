@@ -42,6 +42,11 @@ from connectome_gnn_tpu.parallel.edge_partition import (
     partitioned_sage_layer,
 )
 from connectome_gnn_tpu.parallel.mesh import create_mesh
+from connectome_gnn_tpu.parallel.sampled_dp import (
+    make_device_sampled_dp_eval_step,
+    make_device_sampled_dp_step,
+    replicate_csr,
+)
 
 __all__ = [
     "assemble_global",
@@ -64,8 +69,11 @@ __all__ = [
     "partition_hybrid_cohort",
     "PartitionedGraph",
     "create_mesh",
+    "make_device_sampled_dp_eval_step",
+    "make_device_sampled_dp_step",
     "make_dp_eval_step",
     "make_dp_train_step",
+    "replicate_csr",
     "make_partitioned_train_step",
     "make_banded_train_step_2d",
     "make_sharded_banded_train_step",

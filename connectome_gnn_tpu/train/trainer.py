@@ -83,6 +83,17 @@ class Trainer:
         the way the reference's in-loop collation does (reference
         ``graph.py:190-197``).  Values are unchanged (prefetching
         reorders nothing); set 0 to iterate loaders synchronously.
+    scan_epochs
+        Device-sampled models only (single-device): run each TRAINING
+        epoch as ONE ``lax.scan``-ed program over the packed seed buffer
+        (:func:`~connectome_gnn_tpu.data.device_sampling.
+        make_epoch_runner`) — one host→device transfer and one dispatch
+        per epoch instead of per step.  Step semantics replicate the
+        step-by-step loop to float precision (same rng schedule, same
+        masked CE/Adam), so ``fit``'s early stopping, best-restore, and
+        checkpoint/resume work unchanged.  The non-finite step guard
+        does NOT run inside the scanned epoch (``skipped_steps`` reports
+        0); evaluation always runs step-by-step.
     """
 
     def __init__(
@@ -96,6 +107,7 @@ class Trainer:
         axis_name: str = "data",
         skip_nonfinite: bool = True,
         prefetch_depth: int = 2,
+        scan_epochs: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else reference_adam()
@@ -103,7 +115,14 @@ class Trainer:
         self.axis_name = axis_name
         self.skip_nonfinite = skip_nonfinite
         self.prefetch_depth = int(prefetch_depth)
+        self.scan_epochs = bool(scan_epochs)
+        self._epoch_runner = None
         self.last_skipped_steps = 0
+        if self.scan_epochs and mesh is not None:
+            raise ValueError(
+                "scan_epochs is a single-device mode (use the mesh-mode "
+                "stacked SeedBatch path for data parallelism)"
+            )
 
         key = jax.random.PRNGKey(seed)
         init_key, self._rng = jax.random.split(key)
@@ -204,10 +223,83 @@ class Trainer:
         stack into a global sharded array (single-process: pass through —
         jit places host batches itself)."""
         if self.mesh is not None and jax.process_count() > 1:
+            from connectome_gnn_tpu.data.device_sampling import SeedBatch
             from connectome_gnn_tpu.parallel.data_parallel import shard_batch
 
+            if isinstance(batch, SeedBatch):
+                # only the seed rows shard; the csr replicates separately
+                # (see _replicated_csr) and must not be tree-mapped here
+                import dataclasses
+
+                from connectome_gnn_tpu.parallel.distributed import (
+                    assemble_global,
+                )
+
+                return dataclasses.replace(
+                    batch,
+                    packed=assemble_global(
+                        batch.packed, self.mesh, self.axis_name
+                    ),
+                )
             return shard_batch(batch, self.mesh, self.axis_name)
         return batch
+
+    # ------------------------------------------------------------------
+    # Device-sampled DP dispatch (stacked SeedBatch through the mesh)
+    # ------------------------------------------------------------------
+
+    def _is_seed_batch(self, batch) -> bool:
+        from connectome_gnn_tpu.data.device_sampling import SeedBatch
+
+        if not isinstance(batch, SeedBatch):
+            return False
+        if not batch.stacked:
+            raise ValueError(
+                "mesh-mode training needs a sharded DeviceSeedLoader "
+                f"(num_shards={self.mesh.shape[self.axis_name]}) yielding "
+                "stacked SeedBatches"
+            )
+        return True
+
+    def _device_sampled_dp_step(self, labeled: bool, train: bool):
+        """Cached shard_map step builders for stacked SeedBatches."""
+        cache = self.__dict__.setdefault("_ds_dp_cache", {})
+        key = (bool(labeled), bool(train))
+        if key not in cache:
+            from connectome_gnn_tpu.parallel.sampled_dp import (
+                make_device_sampled_dp_eval_step,
+                make_device_sampled_dp_step,
+            )
+
+            if train:
+                cache[key] = make_device_sampled_dp_step(
+                    self.model, self.optimizer, self.mesh, self.axis_name,
+                    labeled=labeled, guard=self.skip_nonfinite,
+                )
+            else:
+                cache[key] = make_device_sampled_dp_eval_step(
+                    self.model, self.mesh, self.axis_name, labeled=labeled
+                )
+        return cache[key]
+
+    def _replicated_csr(self, batch):
+        """The batch's (or model's) CSR placed fully-replicated over the
+        mesh, cached by identity — a one-time broadcast, then free."""
+        csr = batch.csr
+        if csr is None:
+            csr = getattr(self.model, "csr", None)
+        if csr is None:
+            raise ValueError(
+                "stacked SeedBatch training needs a DeviceGraphCSR "
+                "(build the loader via model.make_loader or pass csr=)"
+            )
+        cache = self.__dict__.setdefault("_csr_cache", {})
+        key = id(csr.indptr)
+        if key not in cache:
+            from connectome_gnn_tpu.parallel.sampled_dp import replicate_csr
+
+            cache[key] = replicate_csr(csr, self.mesh)
+        return cache[key]
 
     # ------------------------------------------------------------------
     # Public API (mirrors reference train.py:41-127)
@@ -220,7 +312,12 @@ class Trainer:
         per-batch ``float()`` would force a host round-trip every step
         and serialize dispatch, which dominates wall time on remote
         runtimes (the steps themselves are ~1 ms).  One sync per epoch.
+        With ``scan_epochs`` and a :class:`~connectome_gnn_tpu.data.
+        device_sampling.DeviceSeedLoader`, the whole epoch runs as one
+        scanned program instead (one transfer, one dispatch).
         """
+        if self.scan_epochs and self._scannable(loader):
+            return self._train_epoch_scanned(loader)
         losses, counts, oks = [], [], []
         num_steps = 0
         for batch in self._iterate(loader):
@@ -239,9 +336,18 @@ class Trainer:
                 )
             else:
                 self._rng, step_key = jax.random.split(self._rng)
-                out = self._dp_train_step(
-                    self.params, self.state, self.opt_state, step_key, batch
-                )
+                if self._is_seed_batch(batch):
+                    out = self._device_sampled_dp_step(
+                        batch.labeled, train=True
+                    )(
+                        self.params, self.state, self.opt_state, step_key,
+                        batch.packed, self._replicated_csr(batch),
+                    )
+                else:
+                    out = self._dp_train_step(
+                        self.params, self.state, self.opt_state, step_key,
+                        batch,
+                    )
                 if self.skip_nonfinite:
                     (
                         self.params,
@@ -263,6 +369,53 @@ class Trainer:
         self.last_skipped_steps = num_steps - int(round(float(sum(oks))))
         return total / max(graphs, 1.0)
 
+    def _scannable(self, loader) -> bool:
+        from connectome_gnn_tpu.data.device_sampling import DeviceSeedLoader
+
+        if not isinstance(loader, DeviceSeedLoader):
+            return False
+        if loader.num_shards is not None:
+            raise ValueError(
+                "scan_epochs needs an unsharded DeviceSeedLoader (the "
+                "scanned epoch is single-device)"
+            )
+        return True
+
+    def _train_epoch_scanned(self, loader) -> float:
+        """One-dispatch epoch via ``make_epoch_runner`` (see
+        :class:`~connectome_gnn_tpu.data.device_sampling`)."""
+        from connectome_gnn_tpu.data.device_sampling import (
+            make_epoch_runner,
+            pack_epoch,
+        )
+
+        if self._epoch_runner is None:
+            self._epoch_runner = make_epoch_runner(self.model, self.optimizer)
+        csr = loader.csr
+        if csr is None:
+            csr = getattr(self.model, "csr", None)
+        if csr is None:
+            raise ValueError(
+                "scan_epochs needs a DeviceGraphCSR (build the loader via "
+                "model.make_loader or pass csr=)"
+            )
+        packed = pack_epoch(loader)  # advances the loader's epoch
+        (
+            self.params,
+            self.state,
+            self.opt_state,
+            self._rng,
+            losses,
+            ns,
+        ) = self._epoch_runner(
+            self.params, self.state, self.opt_state, self._rng, packed, csr,
+            labeled=loader.node_labels is not None,
+        )
+        self.last_skipped_steps = 0  # no in-scan fault guard
+        total = float(jnp.sum(losses * ns))
+        n = float(jnp.sum(ns))
+        return total / max(n, 1.0)
+
     def evaluate(self, loader: ConnectomeDataLoader) -> dict:
         """Masked accuracy / mean loss over ``loader`` (no grad, eval mode).
 
@@ -274,6 +427,13 @@ class Trainer:
             batch = self._maybe_global(batch)
             if self.mesh is None:
                 sums.append(self._eval_step(self.params, self.state, batch))
+            elif self._is_seed_batch(batch):
+                sums.append(
+                    self._device_sampled_dp_step(batch.labeled, train=False)(
+                        self.params, self.state, batch.packed,
+                        self._replicated_csr(batch),
+                    )
+                )
             else:
                 sums.append(self._dp_eval_step(self.params, self.state, batch))
         total_loss = float(sum(s[0] for s in sums))

@@ -253,6 +253,49 @@ class TestTraining:
         assert losses.shape == (4,)
         assert bool(jnp.all(ns == 100))
 
+    def test_fit_scan_epochs_matches_stepwise_fit(self):
+        """Trainer(scan_epochs=True) must reproduce the step-by-step fit
+        to float precision (VERDICT r3 #7: the zero-host-round-trip
+        epoch reachable from the product API)."""
+        g = _graph(n=400, degree=6)
+        labels = (np.arange(400) % 2).astype(np.int32)
+        model = device_sampled_gcn(g, hidden_dim=16, fanout=(3, 3))
+
+        def loaders():
+            tr = model.make_loader(
+                np.arange(400), labels, batch_size=100, seed=4,
+                drop_last=True,
+            )
+            va = model.make_loader(
+                np.arange(400), labels, batch_size=100, seed=5,
+                shuffle=False,
+            )
+            return tr, va
+
+        t1 = Trainer(model, seed=0)
+        h1 = t1.fit(*loaders(), num_epochs=3, patience=10, verbose=False)
+        t2 = Trainer(model, seed=0, scan_epochs=True)
+        h2 = t2.fit(*loaders(), num_epochs=3, patience=10, verbose=False)
+
+        assert np.allclose(h1["train_loss"], h2["train_loss"], rtol=1e-5)
+        assert np.allclose(h1["val_loss"], h2["val_loss"], rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t1.params),
+            jax.tree_util.tree_leaves(t2.params),
+        ):
+            assert jnp.allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_scan_epochs_rejects_sharded_loader(self):
+        g = _graph(n=128, degree=4)
+        model = device_sampled_gcn(g, hidden_dim=8, fanout=(2, 2))
+        lo = model.make_loader(
+            np.arange(128), (np.arange(128) % 2).astype(np.int32),
+            batch_size=32, num_shards=4,
+        )
+        trainer = Trainer(model, seed=0, scan_epochs=True)
+        with pytest.raises(ValueError, match="unsharded"):
+            trainer.train_epoch(lo)
+
     def test_tracks_host_sampled_quality(self):
         """Device-sampled training must land in the host-sampled run's
         accuracy neighborhood (same task, same architecture)."""
