@@ -242,7 +242,7 @@ def main() -> None:
         )
 
     out = {
-        "round": 3,
+        "round": 4,
         "harness": "benchmarks/layout_experiments.py",
         "scale": args.scale,
         "results": results,

@@ -438,7 +438,12 @@ def run_trainer_fit(mesh, shard_range) -> dict:
         process_index=None if (lo, hi) == (0, D) else lo // (hi - lo),
         process_count=None if (lo, hi) == (0, D) else D // (hi - lo),
     )
-    graphs = generate_dataset(num_subjects=3 * D, num_regions=20, seed=9)
+    # seed 13: both splits carry both classes (seed 9's val split was
+    # all-one-class, so val_acc could legitimately be exactly 0.0 and
+    # carried no regression signal — VERDICT r3 weak #5)
+    graphs = generate_dataset(num_subjects=3 * D, num_regions=20, seed=13)
+    val_labels = [int(g.label) for g in graphs[2 * D :]]
+    assert 0 < sum(val_labels) < len(val_labels), "degenerate eval split"
     tr = ConnectomeDataLoader(
         graphs[: 2 * D], batch_size=D, shuffle=True, seed=0, num_shards=D, **kw
     )

@@ -998,6 +998,97 @@ def bench_banded_train_giant_quant(num_nodes=1 << 20, degree=38,
     }
 
 
+def bench_banded_train_giant_quant_blocked(num_nodes=1 << 20, degree=38,
+                                           band_nodes=512, feat=64,
+                                           hidden=64, num_layers=2,
+                                           block=256, iters=6):
+    """Config 5tqb: the int8-band train step through the BLOCKED
+    contiguous-DMA kernels (``apply_quant_trainable_blocked``): all four
+    band passes run FM_DIAG_r03's ``fm_blocked`` layout ([NB, F, block]
+    leading-dim DMA slabs instead of F-segment strided copies) via the
+    same transposed-band custom VJP, activations staying blocked between
+    layers.  Zero extra quantization error vs 5tq; the per-pass win is
+    ~1.25× (TRAIN_DIAG_r04.json carries the full step attribution).
+    """
+    import importlib
+
+    quant_exp = importlib.import_module("benchmarks.quant_experiments")
+    from connectome_gnn_tpu.models import BandedNodeGCN
+    from connectome_gnn_tpu.ops.banded import gcn_normalize_banded
+    from connectome_gnn_tpu.ops.banded_quant import (
+        QuantizedBandedMatrixFM,
+        quantize_band,
+        to_feature_major,
+        transpose_quantized,
+    )
+
+    a, E = quant_exp.build_band(num_nodes, degree, band_nodes, block)
+    model = BandedNodeGCN(in_channels=feat, hidden_dim=hidden,
+                          num_classes=2, num_layers=num_layers)
+    params, state = model.init(jax.random.PRNGKey(0))
+    adj_norm, dinv = gcn_normalize_banded(a)
+    a.band.delete()
+    q_row = quantize_band(adj_norm)
+    _fetch(q_row.scales)
+    adj_norm.band.delete()
+    q = to_feature_major(q_row)
+    qT = to_feature_major(transpose_quantized(q_row))
+    _fetch(qT.scales)
+    q_row.band_q.delete()
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (num_nodes, feat), jnp.float32
+    )
+    labels = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.5, (num_nodes,)
+    ).astype(jnp.int32)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    nn_, bw_ = q.num_nodes, q.bandwidth
+
+    def step(carry, band_qT, scales, bandT_qT, scalesT, dinv, x, labels,
+             eps, i):
+        p, s, o = carry
+        adj_q = QuantizedBandedMatrixFM(band_qT, scales, nn_, bw_)
+        adj_qT = QuantizedBandedMatrixFM(bandT_qT, scalesT, nn_, bw_)
+
+        def loss_fn(p):
+            logits, new_s = model.apply_quant_trainable_blocked(
+                p, s, adj_q, adj_qT, dinv, x + eps, train=True,
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            )
+            return jnp.mean(ce), new_s
+
+        (_, new_s), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, new_o = opt.update(grads, o, p)
+        return (optax.apply_updates(p, updates), new_s, new_o)
+
+    dt = carried_loop_time(
+        step, (params, state, opt_state),
+        (q.band_qT, q.scales, qT.band_qT, qT.scales, dinv, x, labels),
+        iters,
+        lambda c: jnp.sum(c[0]["head"]["kernel"]),
+    )
+    W = bw_
+    padded = q.num_blocks * q.block
+    R = 32
+    pass_bytes = (
+        q.band_qT.size + q.scales.size * 4
+        + (R + 2 * W) / R * padded * hidden * 2 + padded * hidden * 4
+    )
+    model_bytes = num_layers * (2 * pass_bytes + 4 * padded * hidden * 4)
+    return {
+        "ms_per_step": dt * 1e3,
+        "edges_per_s": num_layers * E / dt,
+        "band_passes_per_step": 2 * num_layers,
+        "num_nodes": num_nodes,
+        "num_edges": E,
+        **roofline(dt, bytes_moved=model_bytes),
+    }
+
+
 def _sampled_graph(num_nodes, degree):
     """Spatial+shortcut giant graph with a learnable neighborhood-mean
     label (shared by the S benches)."""
@@ -1413,6 +1504,10 @@ BENCHES = {
     "5tq": ("giant-graph TRAIN step through the int8-band custom-VJP "
             "manual-DMA kernels, 1M nodes / 40M edges",
             bench_banded_train_giant_quant),
+    "5tqb": ("giant-graph TRAIN step through the BLOCKED contiguous-DMA "
+             "int8-band kernels (activations [NB, F, block] end-to-end), "
+             "1M nodes / 40M edges",
+             bench_banded_train_giant_quant_blocked),
     "S": ("sampled-minibatch node-GCN training END-TO-END (sampling+collate+"
           "transfer+step, prefetch overlap), 262k-node graph, 1024 seeds/"
           "step, fanout 10x10",
@@ -1465,7 +1560,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

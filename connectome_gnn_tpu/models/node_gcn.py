@@ -245,6 +245,89 @@ class BandedNodeGCN:
             logits_T = logits_T + params["head"]["bias"][:, None]
         return logits_T.T, {"norms": new_norms}
 
+    def apply_quant_trainable_blocked(
+        self,
+        params: dict,
+        state: dict,
+        adj_q,
+        adj_qT,
+        dinv: jnp.ndarray,
+        x: jnp.ndarray,
+        *,
+        node_mask: Optional[jnp.ndarray] = None,
+        train: bool = True,
+        rng: Optional[jax.Array] = None,
+        interpret: bool = False,
+    ) -> tuple[jnp.ndarray, dict]:
+        """:meth:`apply_quant_trainable` with BLOCKED activations: every
+        band pass (forward AND backward, all layers) runs the contiguous
+        leading-dim-DMA kernel
+        (:func:`~connectome_gnn_tpu.ops.banded_quant.
+        banded_spmm_quant_blocked_grad` — FM_DIAG_r03's ``fm_blocked``,
+        ~1.25× per pass over the strided fm kernel at zero extra error),
+        and activations stay ``[NB, F, block]`` between layers so the
+        relayout happens only at the model boundary.  ``x`` may be
+        node-major ``[N, F]`` (converted here) or pre-blocked
+        ``[NB, F, block]``.  Identical numerics to
+        :meth:`apply_quant_trainable` up to summation order.
+        """
+        from connectome_gnn_tpu.nn.layers import batch_norm_apply_blocked
+        from connectome_gnn_tpu.ops.banded_quant import (
+            banded_spmm_quant_blocked_grad,
+        )
+
+        n = adj_q.num_nodes
+        block, nb = adj_q.block, adj_q.num_blocks
+        padded = nb * block
+        if x.ndim == 2:  # [N, F] node-major → blocked
+            xp = jnp.zeros((padded, x.shape[1]), jnp.float32)
+            xp = jax.lax.dynamic_update_slice(
+                xp, x[:n].astype(jnp.float32), (0, 0)
+            )
+            hb = jnp.swapaxes(xp.reshape(nb, block, -1), 1, 2)
+        else:
+            hb = x
+        self_norm_b = (dinv * dinv)[:padded].reshape(nb, 1, block)
+        mask_b = (
+            node_mask[:padded].reshape(nb, block)
+            if node_mask is not None
+            else (jnp.arange(padded) < n).reshape(nb, block)
+        )
+
+        new_norms = []
+        drop_keys = (
+            jax.random.split(rng, self.num_layers)
+            if (train and rng is not None)
+            else [None] * self.num_layers
+        )
+        for i in range(self.num_layers):
+            hwb = jnp.einsum(
+                "fk,nfb->nkb", params["convs"][i]["kernel"], hb,
+                preferred_element_type=jnp.float32,
+            )
+            hb = (
+                banded_spmm_quant_blocked_grad(
+                    adj_q, adj_qT, hwb, interpret=interpret
+                )
+                + self_norm_b * hwb
+                + params["convs"][i]["bias"][None, :, None]
+            )
+            hb, bn_state = batch_norm_apply_blocked(
+                params["norms"][i], state["norms"][i], hb, mask_b,
+                train=train,
+            )
+            new_norms.append(bn_state)
+            hb = jax.nn.relu(hb)
+            hb = dropout(drop_keys[i], hb, self.dropout, train=train)
+        logits_b = jnp.einsum(
+            "fk,nfb->nkb", params["head"]["kernel"], hb,
+            preferred_element_type=jnp.float32,
+        )
+        if "bias" in params["head"]:
+            logits_b = logits_b + params["head"]["bias"][None, :, None]
+        logits = jnp.swapaxes(logits_b, 1, 2).reshape(padded, -1)[:n]
+        return logits, {"norms": new_norms}
+
     def prepare_quantized(self, adjacency, feature_major: bool = True):
         """One-time serving setup: GCN-normalize, then int8-quantize.
 

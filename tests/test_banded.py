@@ -275,6 +275,9 @@ class TestHybrid:
         )
 
 
+@pytest.mark.slow
+
+
 class TestShardedBandedTraining:
     def _graph(self):
         from connectome_gnn_tpu.data import generate_spatial_graph

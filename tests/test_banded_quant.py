@@ -426,6 +426,7 @@ class TestQuantizedServing:
         np.testing.assert_allclose(ker, xla, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 class TestQuantTrainable:
     """The int8-band TRAINING path: custom-VJP kernel + model gradients."""
 
@@ -598,3 +599,146 @@ class TestQuantTrainable:
         ))
         assert l_q[-1] < l_q[0]  # learning
         assert abs(l_q[-1] - l_f[-1]) < 0.05, (l_q, l_f)
+
+
+class TestBlockedTrainable:
+    """The contiguous-DMA blocked training path (FM_DIAG_r03 fm_blocked
+    promoted to product): same quantized operands and per-tile dots as
+    the fm kernel, only the DMA layout differs — so forward, VJP, and
+    whole-model outputs must match the fm path tightly."""
+
+    def _setup(self, n=640, block=64, feat=16):
+        from connectome_gnn_tpu.ops import gcn_normalize_banded
+
+        a, x = _banded(seed=2, n=n, block=block, feat=feat)
+        adj_norm, dinv = gcn_normalize_banded(a)
+        return a, adj_norm, dinv, x
+
+    def test_forward_matches_fm_kernel(self, cpu_devices):
+        from connectome_gnn_tpu.ops.banded_quant import (
+            banded_spmm_quant_blocked,
+            banded_spmm_quant_fm,
+            from_blocked,
+            quantize_band,
+            to_blocked,
+            to_feature_major,
+        )
+
+        _, adj_norm, _, x = self._setup()
+        q = to_feature_major(quantize_band(adj_norm))
+        block, nb, W = q.block, q.num_blocks, q.bandwidth
+        xT = jnp.asarray(x).T
+        ref = np.asarray(banded_spmm_quant_fm(q, xT, interpret=True))
+
+        xT_pad = jnp.zeros((xT.shape[0], (nb + 2 * W) * block), jnp.float32)
+        xT_pad = jax.lax.dynamic_update_slice(
+            xT_pad, xT[:, : q.num_nodes], (0, W * block)
+        )
+        out_b = banded_spmm_quant_blocked(
+            q, to_blocked(xT_pad, block), interpret=True
+        )
+        got = np.asarray(from_blocked(out_b))[:, : q.num_nodes]
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    def test_vjp_matches_fm_path(self, cpu_devices):
+        from connectome_gnn_tpu.ops.banded_quant import (
+            banded_spmm_quant_blocked_grad,
+            banded_spmm_quant_fm_grad,
+            from_blocked,
+            quantize_band,
+            quantize_transposed_fm,
+            to_blocked,
+            to_feature_major,
+        )
+
+        _, adj_norm, _, x = self._setup()
+        q = to_feature_major(quantize_band(adj_norm))
+        qT = quantize_transposed_fm(adj_norm)
+        block, nb, W = q.block, q.num_blocks, q.bandwidth
+        padded = nb * block
+        xT = jnp.asarray(x).T
+        xp = jnp.zeros((xT.shape[0], padded), jnp.float32)
+        xp = jax.lax.dynamic_update_slice(xp, xT[:, : q.num_nodes], (0, 0))
+        xb = to_blocked(xp, block)
+        cot = jnp.asarray(
+            np.random.default_rng(3).standard_normal(
+                (nb, xT.shape[0], block)
+            ),
+            jnp.float32,
+        )
+
+        def loss_b(v):
+            return jnp.sum(
+                banded_spmm_quant_blocked_grad(q, qT, v, interpret=True)
+                * cot
+            )
+
+        cot_fm = from_blocked(cot)[:, : q.num_nodes]
+
+        def loss_fm(vT):
+            return jnp.sum(
+                banded_spmm_quant_fm_grad(q, qT, vT, interpret=True)
+                * cot_fm
+            )
+
+        lb, gb = jax.value_and_grad(loss_b)(xb)
+        lf, gf = jax.value_and_grad(loss_fm)(xT)
+        np.testing.assert_allclose(float(lb), float(lf), rtol=1e-5)
+        g_b_fm = np.asarray(from_blocked(gb))[:, : q.num_nodes]
+        np.testing.assert_allclose(
+            g_b_fm, np.asarray(gf)[:, : q.num_nodes], rtol=1e-5, atol=1e-6
+        )
+
+    def test_model_matches_fm_trainable(self, cpu_devices):
+        import optax
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+
+        a, _, _, x = self._setup()
+        model = BandedNodeGCN(in_channels=16, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        q, qT, dinv = model.prepare_quant_trainable(a)
+        labels = jnp.asarray(
+            np.random.default_rng(4).integers(0, 2, a.num_nodes), jnp.int32
+        )
+
+        def loss(p, fn):
+            logits, _ = fn(
+                p, state, q, qT, dinv, jnp.asarray(x), train=True,
+                interpret=True,
+            )
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels
+                )
+            )
+
+        lb, gb = jax.value_and_grad(loss)(
+            params, model.apply_quant_trainable_blocked
+        )
+        lf, gf = jax.value_and_grad(loss)(params, model.apply_quant_trainable)
+        np.testing.assert_allclose(float(lb), float(lf), rtol=1e-5)
+        for a_, b_ in zip(
+            jax.tree_util.tree_leaves(gb), jax.tree_util.tree_leaves(gf)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6
+            )
+
+    def test_blocked_logits_match_fm_eval(self, cpu_devices):
+        from connectome_gnn_tpu.models.node_gcn import BandedNodeGCN
+
+        a, _, _, x = self._setup()
+        model = BandedNodeGCN(in_channels=16, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        q, qT, dinv = model.prepare_quant_trainable(a)
+        lb, _ = model.apply_quant_trainable_blocked(
+            params, state, q, qT, dinv, jnp.asarray(x), train=False,
+            interpret=True,
+        )
+        lf, _ = model.apply_quant_trainable(
+            params, state, q, qT, dinv, jnp.asarray(x), train=False,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(lf), rtol=1e-5, atol=1e-6
+        )

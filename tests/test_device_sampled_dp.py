@@ -104,6 +104,7 @@ class TestShardedLoader:
 
 
 class TestDPStep:
+    @pytest.mark.slow
     def test_matches_generic_closure_path(self, cpu_devices):
         """Explicit-csr step == generic make_dp_train_step with the CSR
         captured by closure, on the same stacked batch (bit-level up to
@@ -185,6 +186,7 @@ class TestDPStep:
         assert np.isclose(float(loss_sum), tot_l, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestTrainerMeshMode:
     def test_fit_learns_one_hop_task_sharded(self, cpu_devices):
         g, labels = _task(n=1024)

@@ -101,6 +101,7 @@ class TestKeepAllOracle:
 
 
 class TestStructure:
+    @pytest.mark.slow
     def test_fanout_bounds_receivers_sorted_padding_inert(self):
         g = _graph(n=800, degree=10)
         csr = DeviceGraphCSR.from_graph(g)
@@ -186,6 +187,7 @@ class TestSeedBatch:
         assert all(np.array_equal(a, b) for a, b in zip(e0, e0r))
 
 
+@pytest.mark.slow
 class TestTraining:
     def test_fit_learns_one_hop_task(self):
         g = generate_spatial_graph(1024, degree=8, band=32, seed=0)
@@ -410,6 +412,7 @@ class TestMultisetMode:
         assert h["val_acc"][-1] > 0.72
 
 
+@pytest.mark.slow
 class TestBlockedAggregation:
     """gcn_layer_apply_blocked / BlockedNodeGCN vs the flat COO path.
 

@@ -95,6 +95,9 @@ class TestEdgePartitionedGCN:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
+
+
 class TestPartitionedTraining:
     def test_train_step_reduces_loss(self, giant_graph, cpu_devices):
         import optax

@@ -112,6 +112,8 @@ class TestNonFiniteGuard:
         for a, b in zip(p0, jax.tree_util.tree_leaves(params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
+
     def test_guard_on_dp_mesh(self, cpu_devices):
         from connectome_gnn_tpu.parallel import create_mesh
 
@@ -150,6 +152,7 @@ class _PreemptingLoader:
             yield batch
 
 
+@pytest.mark.slow
 class TestPreemption:
     def test_guard_catches_and_restores(self):
         before = signal.getsignal(signal.SIGTERM)
@@ -193,6 +196,7 @@ class TestPreemption:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 class TestElasticResume:
     def test_resume_on_different_topology(self, tmp_path, cpu_devices):
         """Checkpoint on one device, resume on an 8-device mesh: the DP

@@ -77,6 +77,7 @@ class TestShardedHybridForward:
         )
 
 
+@pytest.mark.slow
 class TestShardedHybridTraining:
     @pytest.mark.parametrize("family", ["gcn", "sage"])
     def test_grads_match_single_device_oracle(self, cpu_devices, family):

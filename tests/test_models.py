@@ -89,6 +89,8 @@ class TestGradients:
         assert any(n > 0 for n in norms)
         assert all(np.isfinite(n) for n in norms)
 
+    @pytest.mark.slow
+
     def test_padding_does_not_leak_gradient(self, models):
         """Gradients must be identical whether a batch is padded or not."""
         graphs = generate_dataset(num_subjects=4, num_regions=15, seed=3)

@@ -142,6 +142,7 @@ class TestPartitionerShardRange:
                 np.testing.assert_array_equal(np.asarray(f)[lo:hi], p)
 
 
+@pytest.mark.slow
 class TestCrossProcessDryrun:
     def test_two_processes_match_single_process(self, tmp_path):
         """Launch the real 2-process (gloo) dryrun; every program's losses

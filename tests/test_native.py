@@ -132,6 +132,7 @@ class TestDensePack:
             np.testing.assert_array_equal(np.asarray(batch.adj[b]), oracle)
 
 
+@pytest.mark.slow
 class TestSpeed:
     def test_band_pack_speedup(self):
         """Native packing must beat np.add.at comfortably at giant scale."""

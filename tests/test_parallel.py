@@ -38,6 +38,7 @@ class TestMesh:
         assert mesh.shape["data"] == 8
 
 
+@pytest.mark.slow
 class TestDataParallel:
     def test_sharded_loader_shapes(self, dataset, cpu_devices):
         loader = ConnectomeDataLoader(

@@ -249,6 +249,7 @@ class TestShardedSampledLoader:
         assert any((a != b).any() for a, b in zip(e0, e1))
 
 
+@pytest.mark.slow
 class TestSampledDataParallel:
     def test_dp_step_matches_single_device_on_identical_shards(self, cpu_devices):
         """8 identical shards through the DP step == one single-device
@@ -367,6 +368,7 @@ class TestSampledDataParallel:
         assert h2["val_acc"][-1] >= h1["val_acc"][-1] - 0.08
 
 
+@pytest.mark.slow
 class TestPrefetch:
     def test_prefetched_fit_is_deterministic(self):
         """prefetch_depth only overlaps host work — history is identical."""
@@ -388,6 +390,7 @@ class TestPrefetch:
         np.testing.assert_array_equal(h0["val_loss"], h2["val_loss"])
 
 
+@pytest.mark.slow
 class TestSampledConvergence:
     def test_sampled_training_reaches_fullbatch_neighborhood(self):
         """The headline: minibatch-sampled training lands within 0.08 val

@@ -29,6 +29,7 @@ def make_trainer(seed=0, lr=1e-3):
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_fit_returns_history(self, small_loaders):
         train_loader, val_loader = small_loaders
         trainer = make_trainer()
@@ -61,6 +62,8 @@ class TestTrainer:
         assert 0 <= metrics["correct"] <= 10
         assert np.isfinite(metrics["loss"])
 
+    @pytest.mark.slow
+
     def test_early_stopping_bounds_epochs(self, small_loaders):
         train_loader, val_loader = small_loaders
         trainer = make_trainer(seed=2)
@@ -68,6 +71,8 @@ class TestTrainer:
             train_loader, val_loader, num_epochs=50, patience=2, verbose=False
         )
         assert len(history["train_loss"]) <= 50
+
+    @pytest.mark.slow
 
     def test_best_weights_restored(self, small_loaders):
         """After fit, evaluate() must reproduce the best recorded val loss."""
@@ -136,6 +141,7 @@ class TestPredict:
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestDPDenseLayout:
     def test_dp_training_on_dense_layout(self, cpu_devices):
         from connectome_gnn_tpu.parallel import create_mesh
@@ -175,6 +181,7 @@ class TestPredictUnlabeled:
         assert logits.shape == (5, 2)
 
 
+@pytest.mark.slow
 class TestFitCheckpointResume:
     """Preemption-safe fit: resumed training replays the uninterrupted run."""
 
