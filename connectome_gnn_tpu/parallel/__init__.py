@@ -47,6 +47,13 @@ from connectome_gnn_tpu.parallel.sampled_dp import (
     make_device_sampled_dp_step,
     replicate_csr,
 )
+from connectome_gnn_tpu.parallel.sharded_sampling import (
+    ShardedGraphCSR,
+    make_graph_sharded_sampled_forward,
+    make_graph_sharded_train_step,
+    sharded_device_sample,
+    sharded_sampling_comm_model,
+)
 
 __all__ = [
     "assemble_global",
@@ -74,6 +81,11 @@ __all__ = [
     "make_dp_eval_step",
     "make_dp_train_step",
     "replicate_csr",
+    "ShardedGraphCSR",
+    "make_graph_sharded_sampled_forward",
+    "make_graph_sharded_train_step",
+    "sharded_device_sample",
+    "sharded_sampling_comm_model",
     "make_partitioned_train_step",
     "make_banded_train_step_2d",
     "make_sharded_banded_train_step",
