@@ -164,8 +164,24 @@ def run_case(name, N, F, L, dtype, *, iters, ks, chunk, interpret):
         table = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, N, L).astype(np.int32))
 
+    # Mosaic constraint (MEASURED, first finding of this harness): an
+    # HBM memref slice must be 128-lane aligned, so a single-row DMA
+    # cannot move fewer than 128 elements of the minor dim — F=64 f32
+    # rows (256 B) and [E, 2] int32 rows (8 B) are below the DMA
+    # granularity.  The DMA path therefore runs on a 128-lane padded
+    # table (row_bytes_physical); the XLA gather is timed on BOTH the
+    # logical and the padded table so the padded row is the
+    # apples-to-apples comparison and the logical row stays the
+    # product-shape number.
+    F_pad = ((F + 127) // 128) * 128
+    table_pad = (
+        table if F_pad == F
+        else jnp.pad(table, ((0, 0), (0, F_pad - F)))
+    )
+
     out = {"case": name, "num_rows": N, "row_width": F,
-           "row_bytes": F * 4, "num_indices": L}
+           "row_bytes": F * 4, "row_bytes_physical": F_pad * 4,
+           "num_indices": L}
 
     dt = time_gather(lambda t, i: t[i], table, idx, iters)
     out["xla_gather"] = {
@@ -174,6 +190,15 @@ def run_case(name, N, F, L, dtype, *, iters, ks, chunk, interpret):
     }
     print(f"# {name} xla: {dt/L*1e9:.1f} ns/row", file=sys.stderr,
           flush=True)
+    if F_pad != F:
+        dt = time_gather(lambda t, i: t[i], table_pad, idx, iters)
+        out["xla_gather_padded"] = {
+            "ms": dt * 1e3, "ns_per_row": dt / L * 1e9,
+            "rows_per_s": L / dt,
+            "gbytes_per_s": L * F_pad * 4 / dt / 1e9,
+        }
+        print(f"# {name} xla padded({F_pad}): {dt/L*1e9:.1f} ns/row",
+              file=sys.stderr, flush=True)
 
     correctness_checked = False
     for K in ks:
@@ -183,13 +208,14 @@ def run_case(name, N, F, L, dtype, *, iters, ks, chunk, interpret):
         if not correctness_checked:
             small = min(L, 4 * chunk)
             want = np.asarray(table[idx[:small]])
-            got = np.asarray(fn(table, idx[:small]))
+            got = np.asarray(fn(table_pad, idx[:small]))[:, :F]
             np.testing.assert_array_equal(got, want)
             correctness_checked = True
-        dt = time_gather(fn, table, idx, iters)
+        dt = time_gather(fn, table_pad, idx, iters)
         out[f"dma_k{K}"] = {
             "ms": dt * 1e3, "ns_per_row": dt / L * 1e9,
-            "rows_per_s": L / dt, "gbytes_per_s": L * F * 4 / dt / 1e9,
+            "rows_per_s": L / dt,
+            "gbytes_per_s": L * F_pad * 4 / dt / 1e9,
         }
         print(f"# {name} dma K={K}: {dt/L*1e9:.1f} ns/row",
               file=sys.stderr, flush=True)

@@ -166,6 +166,32 @@ def _sage_dense_fwd_flops(B: int, N: int, dims: list[int], classes: int) -> floa
     return f
 
 
+def _fused_fwd_bytes(B: int, N: int, f_in: int) -> float:
+    """HBM bytes of the FUSED forward (configs 1/2/4): the Pallas kernel
+    grid-blocks over graph groups and runs ALL layers on the group's
+    adjacency while it sits in VMEM (`ops/fused_pallas.py`:82), so the
+    algorithmic traffic is one adjacency read + one input read + the
+    logits write — inter-layer activations never touch HBM."""
+    return 4.0 * (B * N * N + B * N * f_in) + 4.0 * B * 2
+
+
+def _gcn_dense_train_bytes(B: int, N: int, dims: list[int]) -> float:
+    """HBM bytes of one XLA-dense TRAIN step (config T), algorithmic
+    minimum.  Forward: per layer read adj + read h_in + write h_out
+    (the unfused path materializes inter-layer activations).  Backward:
+    the dx chain re-reads adj per layer (`g @ A^T`) and reads/writes the
+    activation-sized cotangents; dW re-reads each layer's saved input.
+    Optimizer traffic (11k params × few reads/writes) is negligible."""
+    fwd = 0.0
+    for fi, fo in zip(dims[:-1], dims[1:]):
+        fwd += 4.0 * (B * N * N + B * N * fi + B * N * fo)
+    bwd = 0.0
+    for fi, fo in zip(dims[:-1], dims[1:]):
+        # dx: adj re-read + read g_out + write g_in; dW: saved h_in re-read
+        bwd += 4.0 * (B * N * N + B * N * fo + B * N * fi + B * N * fi)
+    return fwd + bwd
+
+
 def carried_loop_time(step, carry0, consts: tuple, iters: int, readout) -> float:
     """Device-loop timing for STATEFUL steps (training): ``carry =
     step(carry, *consts, eps, i)`` chained in one on-device fori_loop,
@@ -246,11 +272,18 @@ def bench_small_graph_forward(model_cls=None, fused: bool = True, iters=2000):
         if issubclass(model_cls, GraphSAGEConnectome)
         else _gcn_dense_fwd_flops
     )
+    # tiny-batch finding: both mfu and hbm_frac are low — the config is
+    # grid-latency bound (88-node matmuls underfill the MXU; one graph
+    # group per grid step), not compute- or bandwidth-bound.
     return {
         "us_per_batch": dt * 1e6,
         "edge_msgs_per_s": 3 * edges / dt,
         "graphs_per_s": 16 / dt,
-        **roofline(dt, flops=flops_fn(16, N, [5, 64, 64, 64], 2)),
+        **roofline(
+            dt,
+            flops=flops_fn(16, N, [5, 64, 64, 64], 2),
+            bytes_moved=_fused_fwd_bytes(16, N, 5),
+        ),
     }
 
 
@@ -307,7 +340,11 @@ def bench_packed_512(iters=200):
         "us_per_batch": dt * 1e6,
         "edge_msgs_per_s": 3 * edges / dt,
         "graphs_per_s": 512 / dt,
-        **roofline(dt, flops=_gcn_dense_fwd_flops(512, N, [5, 64, 64, 64], 2)),
+        **roofline(
+            dt,
+            flops=_gcn_dense_fwd_flops(512, N, [5, 64, 64, 64], 2),
+            bytes_moved=_fused_fwd_bytes(512, N, 5),
+        ),
     }
 
 
@@ -814,14 +851,59 @@ def bench_train_step(iters=100):
     t_small = min(timed(c_small) for _ in range(2))
     t_full = min(timed(c_full) for _ in range(2))
     dt = max(t_full - t_small, 1e-12) / (iters - k_small)
+
+    # ------------------------------------------------------------------
+    # Decomposition (VERDICT r3 #6): attribute the step.  Time the same
+    # shapes as (a) forward-only loss and (b) value_and_grad with every
+    # grad leaf consumed but no optimizer update; the remainder of the
+    # full step is the optimizer.  Same anti-hoist chained-loop
+    # discipline as the full step (`device_loop_time`).
+    def fwd_only(x, eps, i):
+        b = dataclasses.replace(batch, node_features=x + eps)
+        logits, _ = model.apply(
+            p_const, state, b, train=True, rng=jax.random.PRNGKey(0)
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, b.labels)
+        m = b.label_mask.astype(jnp.float32)
+        return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def fwd_bwd(x, eps, i):
+        b = dataclasses.replace(batch, node_features=x + eps)
+
+        def loss_fn(p):
+            logits, new_state = model.apply(
+                p, state, b, train=True, rng=jax.random.PRNGKey(0)
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, b.labels)
+            m = b.label_mask.astype(jnp.float32)
+            return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0), new_state
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_const)
+        # consume EVERY grad leaf so XLA cannot dead-code any backward branch
+        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+        return loss + jnp.float32(1e-12) * gsum
+
+    p_const = params
+    x_arg = (batch.node_features,)
+    dt_fwd = device_loop_time(fwd_only, x_arg, iters)
+    dt_fb = device_loop_time(fwd_bwd, x_arg, iters)
+
     # flops model: fwd + bwd ≈ 3× the forward matmul work (standard rule:
-    # backward does ~2× forward's matmul flops)
+    # backward does ~2× forward's matmul flops); bytes model in
+    # `_gcn_dense_train_bytes` (unfused XLA-dense path, algorithmic min)
     N = int(batch.node_features.shape[1])
     fwd = _gcn_dense_fwd_flops(512, N, [5, 64, 64, 64], 2)
     return {
         "us_per_step": dt * 1e6,
         "graphs_per_s": 512 / dt,
-        **roofline(dt, flops=3 * fwd),
+        "us_fwd": dt_fwd * 1e6,
+        "us_bwd": max(dt_fb - dt_fwd, 0.0) * 1e6,
+        "us_opt": max(dt - dt_fb, 0.0) * 1e6,
+        **roofline(
+            dt,
+            flops=3 * fwd,
+            bytes_moved=_gcn_dense_train_bytes(512, N, [5, 64, 64, 64]),
+        ),
     }
 
 
