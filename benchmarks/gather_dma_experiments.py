@@ -227,7 +227,9 @@ def main() -> None:
     p.add_argument("--out", default="GATHER_DMA_r04.json")
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--ks", default="4,8,16,32")
-    p.add_argument("--chunk", type=int, default=512)
+    # 1024, not 512: XLA lays out long 1-D s32 operands with a T(1024)
+    # tile and Mosaic requires the SMEM index block to match it
+    p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--interpret", action="store_true")
     p.add_argument("--small", action="store_true",
                    help="tiny shapes for CPU smoke-testing")

@@ -8,7 +8,7 @@ costs ~24 ms before the TPU does anything (measured in
 ``benchmarks/profile_sampled.py`` and the dispatch/transfer microbench;
 SUITE_r03.json config S).  The TPU-native answer is to stop shipping
 batches: the CSR adjacency, features, and weights are uploaded ONCE
-(:class:`DeviceGraphCSR`, ~0.4 GB at 1M nodes / 44M edges), and each
+(:class:`DeviceGraphCSR`, ~0.61 GB at 1M nodes / 44M edges), and each
 training step receives only a ~8 KB :class:`SeedBatch` (seed ids + PRNG
 key + labels, packed into a single int32 buffer = one transfer, one
 dispatch).  Sampling, dedup, relabeling, feature gather, and the train
