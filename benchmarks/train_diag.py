@@ -140,27 +140,39 @@ def main() -> None:
               file=sys.stderr, flush=True)
 
     # ---- f32 band passes (the 5t kernels) -----------------------------
-    f32_bytes = adj_norm.band.size * 4 + (2 * W + 2) * padded * F * 4
+    # HBM discipline at the 1M config: the f32 band is 5.37 GB, so the
+    # band and its transpose must NEVER be live together (16 GB chip —
+    # two bands + loop workspace OOMed the first run of this harness).
+    # Quantize first (int8 copies, 2.7 GB), then SWAP band↔bandᵀ via
+    # transpose+delete; transpose_banded is an involution so the
+    # original is recovered for the f32 full-step timing at the end.
+    f32_band_bytes = adj_norm.band.size * 4
+    f32_bytes = f32_band_bytes + (2 * W + 2) * padded * F * 4
     dt = chained_loop_time(
         lambda v, b: banded_spmm(adj_norm._replace(band=b), v), x, it,
         adj_norm.band,
     )
     record_pass("f32_fwd", dt, f32_bytes)
-    adj_T = transpose_banded(adj_norm)
-    dt = chained_loop_time(
-        lambda v, b: banded_spmm(adj_T._replace(band=b), v), x, it,
-        adj_T.band,
-    )
-    record_pass("f32_bwd_transposed", dt, f32_bytes)
-    adj_T.band.delete()
 
-    # ---- quantized operands ------------------------------------------
+    # ---- quantized operands (row-major band still live) ---------------
     q_row = quantize_band(adj_norm)
     fetch(q_row.scales)
     qT_row = transpose_quantized(q_row)
     q = to_feature_major(q_row)
     qT = to_feature_major(qT_row)
     fetch(qT.scales)
+    q_row.band_q.delete()
+    qT_row.band_q.delete()
+
+    # ---- f32 transposed pass (swap: only ONE f32 band live) -----------
+    adj_T = transpose_banded(adj_norm)
+    fetch(adj_T.band[0, 0, 0])
+    adj_norm.band.delete()
+    dt = chained_loop_time(
+        lambda v, b: banded_spmm(adj_T._replace(band=b), v), x, it,
+        adj_T.band,
+    )
+    record_pass("f32_bwd_transposed", dt, f32_bytes)
 
     # ---- fm (strided) passes — the shipped 5tq kernels ----------------
     fm_bytes = band_pass_bytes(q, F)
@@ -333,19 +345,8 @@ def main() -> None:
         print(f"# step {name}: {dt*1e3:.3f} ms", file=sys.stderr, flush=True)
         return dt
 
-    # f32 (5t)
-    f32_step_bytes = L * (
-        2 * adj_norm.band.size * 4 + 3 * (2 * W + 2) * padded * F * 4
-    )
-    record_step(
-        "f32_5t",
-        lambda p, s, band, dinv_, x_: model.apply_normalized(
-            p, s, BandedMatrix(band, N, W), dinv_, x_, train=True
-        ),
-        (adj_norm.band, dinv), f32_step_bytes,
-    )
-    adj_norm.band.delete()
-
+    # quant steps first (the idle adj_T f32 band + int8 operands fit;
+    # the f32 step runs LAST, alone with its recovered band)
     quant_pass = band_pass_bytes(q, F)
     quant_step_bytes = L * (2 * quant_pass + 4 * padded * F * 4)
     record_step(
@@ -369,6 +370,25 @@ def main() -> None:
         (q.band_qT, q.scales, qT.band_qT, qT.scales, dinv),
         quant_step_bytes,
     )
+
+    # f32 (5t) — recover the row-major band from its transpose
+    # (involution; the original was deleted to keep one f32 band live)
+    q.band_qT.delete()
+    qT.band_qT.delete()
+    adj_norm = transpose_banded(adj_T)
+    fetch(adj_norm.band[0, 0, 0])
+    adj_T.band.delete()
+    f32_step_bytes = L * (
+        2 * f32_band_bytes + 3 * (2 * W + 2) * padded * F * 4
+    )
+    record_step(
+        "f32_5t",
+        lambda p, s, band, dinv_, x_: model.apply_normalized(
+            p, s, BandedMatrix(band, N, W), dinv_, x_, train=True
+        ),
+        (adj_norm.band, dinv), f32_step_bytes,
+    )
+    adj_norm.band.delete()
 
     # ---- attribution ---------------------------------------------------
     ps = results["passes"]
