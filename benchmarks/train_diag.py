@@ -154,25 +154,37 @@ def main() -> None:
     )
     record_pass("f32_fwd", dt, f32_bytes)
 
-    # ---- quantized operands (row-major band still live) ---------------
-    q_row = quantize_band(adj_norm)
-    fetch(q_row.scales)
-    qT_row = transpose_quantized(q_row)
-    q = to_feature_major(q_row)
-    qT = to_feature_major(qT_row)
-    fetch(qT.scales)
-    q_row.band_q.delete()
-    qT_row.band_q.delete()
-
     # ---- f32 transposed pass (swap: only ONE f32 band live) -----------
-    adj_T = transpose_banded(adj_norm)
+    # The transpose runs as a DONATED jitted program: the eager
+    # transpose materializes every per-diagonal temporary alongside
+    # input and output (~3x band = 16 GB at the 1M config — OOMed);
+    # under jit+donation XLA streams diagonals through the donated
+    # buffer and peak stays ~2x band.
+    def _band_T(band):
+        return transpose_banded(BandedMatrix(band, N, W)).band
+
+    _swap = jax.jit(_band_T, donate_argnums=0)
+    adj_T = BandedMatrix(_swap(adj_norm.band), N, W)
     fetch(adj_T.band[0, 0, 0])
-    adj_norm.band.delete()
+    del adj_norm  # band buffer was donated away
     dt = chained_loop_time(
         lambda v, b: banded_spmm(adj_T._replace(band=b), v), x, it,
         adj_T.band,
     )
     record_pass("f32_bwd_transposed", dt, f32_bytes)
+
+    # ---- quantized operands (derived from the transposed band; block
+    # absmax is transpose-invariant so quantize_band(A^T) ==
+    # transpose_quantized(quantize_band(A)) exactly) ---------------------
+    qT_row = quantize_band(adj_T)
+    fetch(qT_row.scales)
+    q_row = transpose_quantized(qT_row)
+    q = to_feature_major(q_row)
+    qT = to_feature_major(qT_row)
+    fetch(q.scales)
+    fetch(qT.scales)
+    q_row.band_q.delete()
+    qT_row.band_q.delete()
 
     # ---- fm (strided) passes — the shipped 5tq kernels ----------------
     fm_bytes = band_pass_bytes(q, F)
@@ -372,12 +384,12 @@ def main() -> None:
     )
 
     # f32 (5t) — recover the row-major band from its transpose
-    # (involution; the original was deleted to keep one f32 band live)
+    # (involution; the original was donated away to keep one band live)
     q.band_qT.delete()
     qT.band_qT.delete()
-    adj_norm = transpose_banded(adj_T)
+    adj_norm = BandedMatrix(_swap(adj_T.band), N, W)
     fetch(adj_norm.band[0, 0, 0])
-    adj_T.band.delete()
+    del adj_T  # donated
     f32_step_bytes = L * (
         2 * f32_band_bytes + 3 * (2 * W + 2) * padded * F * 4
     )
