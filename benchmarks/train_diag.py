@@ -383,13 +383,20 @@ def main() -> None:
         quant_step_bytes,
     )
 
-    # f32 (5t) — recover the row-major band from its transpose
-    # (involution; the original was donated away to keep one band live)
+    # f32 (5t) — recover the row-major band by REBUILDING it from the
+    # (deterministic) generator: even the donated transpose OOMs here
+    # with the step state resident (in+out+temps ≈ 12 GB + fragments),
+    # so free everything first and pay the host rebuild instead.
     q.band_qT.delete()
     qT.band_qT.delete()
-    adj_norm = BandedMatrix(_swap(adj_T.band), N, W)
+    adj_T.band.delete()
+    del adj_T
+    xb.delete()
+    a2, _ = quant_exp.build_band(N, args.degree, args.band, block)
+    adj_norm, dinv2 = gcn_normalize_banded(a2)
+    a2.band.delete()
+    dinv = dinv2
     fetch(adj_norm.band[0, 0, 0])
-    del adj_T  # donated
     f32_step_bytes = L * (
         2 * f32_band_bytes + 3 * (2 * W + 2) * padded * F * 4
     )
