@@ -162,7 +162,8 @@ class TestCrossProcessDryrun:
         artifact = json.loads(out.read_text())
         assert artifact["ok"] is True
         assert set(artifact["programs"]) == {
-            "dp", "banded", "hybrid", "sampled_dp", "trainer_fit"
+            "dp", "banded", "hybrid", "sampled_dp", "device_sampled_dp",
+            "trainer_fit"
         }
         for prog, d in artifact["drift"].items():
             assert d["max_rel_err"] <= d["bound"], prog
