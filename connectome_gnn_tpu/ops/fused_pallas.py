@@ -43,7 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-8
 
 #: VMEM budget for the double-buffered per-step operand slabs.
-_VMEM_BLOCK_BUDGET = 6 * 1024 * 1024
+# Sized from the round-4 sweep (benchmarks/fused_block_sweep.py,
+# FUSED_SWEEP_r04.json): at the packed-512 config G=64 is the fastest
+# group (104.5 vs 109.2 us at G=32), while G=128 exceeds the compiler's
+# 16 MB scoped-VMEM limit (25.6 MB requested — hard compile error, not
+# a spill).  11 MB lands the heuristic on G=64 for the 88-node/H=64
+# shape with ~20% headroom under the scoped limit (the estimate below
+# undercounts the compiler's accounting by about that much at G=128).
+_VMEM_BLOCK_BUDGET = 11 * 1024 * 1024
 
 
 def _fused_gcn_kernel(
