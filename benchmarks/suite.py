@@ -1430,7 +1430,8 @@ def bench_device_sampled_dp(num_nodes=262_144, degree=16, batch=1024,
 
 
 def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
-                               fanout=(10, 10), max_steps=256):
+                               fanout=(10, 10), max_steps=256,
+                               family="gcn", dedup=True):
     """Config SE: WHOLE-EPOCH-on-device sampled training.
 
     ``make_epoch_runner`` scans the fused sample+train step over a
@@ -1439,15 +1440,22 @@ def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
     end-to-end: pack (host numpy) + transfer + scanned program + final
     fetch.  Marginal per-step cost is the full-vs-quarter difference
     (removes the fixed dispatch RTT that dominates config SD on this
-    tunnelled runtime)."""
+    tunnelled runtime).  ``family``/``dedup`` compose the SAGE multiset
+    mode (config SME = cheapest sampler × cheapest dispatch)."""
     import numpy as np
 
     from connectome_gnn_tpu.data import (device_sampled_gcn,
+                                         device_sampled_sage,
                                          make_epoch_runner, pack_epoch)
     from connectome_gnn_tpu.train import reference_adam
 
     g, labels = _sampled_graph(num_nodes, degree)
-    model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    if family == "gcn":
+        model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    else:
+        model = device_sampled_sage(
+            g, hidden_dim=64, fanout=fanout, dedup=dedup
+        )
     loader = model.make_loader(
         np.arange(num_nodes), labels, batch_size=batch, seed=0,
         drop_last=True,
@@ -1491,7 +1499,8 @@ def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
     @jax.jit
     def _count(csr, seeds, key_data):
         s = device_sample(
-            csr, seeds, jax.random.wrap_key_data(key_data), fanout
+            csr, seeds, jax.random.wrap_key_data(key_data), fanout,
+            dedup=dedup,
         )
         return (s.edge_weight > 0).sum()
 
@@ -1626,6 +1635,12 @@ BENCHES = {
             "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
             lambda: bench_device_sampled_epoch(
                 num_nodes=1 << 20, degree=38)),
+    "SME": ("whole-epoch-on-device MULTISET sampled training (cheapest "
+            "sampler x cheapest dispatch: SAGE dedup=False through the "
+            "scanned epoch runner), 262k-node graph, 1024 seeds/step, "
+            "fanout 10x10",
+            lambda: bench_device_sampled_epoch(
+                family="sage", dedup=False)),
     "S2": ("sampled-minibatch training END-TO-END on the FULL north-star "
            "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
            bench_sampled_train_giant),
@@ -1642,7 +1657,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2,SME",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

@@ -185,6 +185,47 @@ class TestDPStep:
         assert int(correct) == tot_c
         assert np.isclose(float(loss_sum), tot_l, rtol=1e-5)
 
+    def test_multiset_step_matches_generic_closure_path(self, cpu_devices):
+        """The multiset (dedup=False) SAGE model composes with the DP
+        step unchanged: explicit-csr shard_map step == generic
+        make_dp_train_step on the same stacked batch."""
+        from connectome_gnn_tpu.data import device_sampled_sage
+
+        g, labels = _task()
+        model = device_sampled_sage(
+            g, hidden_dim=16, fanout=(4, 4), dedup=False
+        )
+        mesh = create_mesh(devices=cpu_devices[:4])
+        opt = reference_adam()
+        params, state = model.init(jax.random.PRNGKey(0))
+        opt_state = opt.init(params)
+
+        lo = model.make_loader(
+            np.arange(g.num_nodes), labels, batch_size=64, seed=0,
+            num_shards=4, drop_last=True,
+        )
+        batch = next(iter(lo))
+        key = jax.random.PRNGKey(7)
+
+        step = make_device_sampled_dp_step(model, opt, mesh)
+        p1, s1, o1, loss1, n1 = step(
+            params, state, opt_state, key, batch.packed,
+            replicate_csr(model.csr, mesh),
+        )
+
+        generic = make_dp_train_step(model, opt, mesh)
+        closure_batch = dataclasses.replace(batch, csr=None)
+        p2, s2, o2, loss2, n2 = generic(
+            params, state, opt_state, key, closure_batch
+        )
+
+        assert float(n1) == float(n2) == 64.0
+        assert jnp.allclose(loss1, loss2, rtol=1e-6, atol=1e-7)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+        ):
+            assert jnp.allclose(a, b, rtol=1e-6, atol=1e-7)
+
 
 @pytest.mark.slow
 class TestTrainerMeshMode:

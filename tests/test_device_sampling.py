@@ -411,6 +411,43 @@ class TestMultisetMode:
         h = t.fit(tr, va, num_epochs=10, patience=20, verbose=False)
         assert h["val_acc"][-1] > 0.72
 
+    def test_multiset_epoch_scan_matches_stepwise(self):
+        """The multiset model must compose with make_epoch_runner
+        unchanged (suite config SME = cheapest sampler x cheapest
+        dispatch): scanned epoch == stepwise Trainer epoch."""
+        from connectome_gnn_tpu.data import device_sampled_sage
+
+        g = _graph(n=400, degree=6)
+        labels = (np.arange(400) % 2).astype(np.int32)
+        model = device_sampled_sage(
+            g, hidden_dim=16, fanout=(3, 3), dedup=False
+        )
+
+        trainer = Trainer(model, seed=0)
+        run = make_epoch_runner(model, trainer.optimizer)
+        packed = pack_epoch(
+            model.make_loader(
+                np.arange(400), labels, batch_size=100, seed=4,
+                drop_last=True,
+            )
+        )
+        p2, s2, o2, _, losses, ns = run(
+            trainer.params, trainer.state, trainer.opt_state,
+            trainer._rng, packed, model.csr,
+        )
+
+        loader = model.make_loader(
+            np.arange(400), labels, batch_size=100, seed=4, drop_last=True
+        )
+        trainer.train_epoch(loader)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p2),
+            jax.tree_util.tree_leaves(trainer.params),
+        ):
+            assert jnp.allclose(a, b, rtol=1e-6, atol=1e-7)
+        assert losses.shape == (4,)
+        assert bool(jnp.all(ns == 100))
+
 
 @pytest.mark.slow
 class TestBlockedAggregation:
