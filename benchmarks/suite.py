@@ -1641,6 +1641,12 @@ BENCHES = {
             "fanout 10x10",
             lambda: bench_device_sampled_epoch(
                 family="sage", dedup=False)),
+    "SME2": ("whole-epoch-on-device MULTISET sampled training on the FULL "
+             "north-star graph, 1M nodes / 44M edges, 1024 seeds/step, "
+             "fanout 10x10",
+             lambda: bench_device_sampled_epoch(
+                 num_nodes=1 << 20, degree=38, family="sage",
+                 dedup=False)),
     "S2": ("sampled-minibatch training END-TO-END on the FULL north-star "
            "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
            bench_sampled_train_giant),
@@ -1657,7 +1663,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2,SME",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2,SME,SME2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
