@@ -48,9 +48,13 @@ from connectome_gnn_tpu.parallel.sampled_dp import (
     replicate_csr,
 )
 from connectome_gnn_tpu.parallel.sharded_sampling import (
+    GraphShardedSampledModel,
     ShardedGraphCSR,
+    graph_sharded_sage,
+    make_graph_sharded_eval_step,
     make_graph_sharded_sampled_forward,
     make_graph_sharded_train_step,
+    shard_csr,
     sharded_device_sample,
     sharded_sampling_comm_model,
 )
@@ -81,9 +85,13 @@ __all__ = [
     "make_dp_eval_step",
     "make_dp_train_step",
     "replicate_csr",
+    "GraphShardedSampledModel",
     "ShardedGraphCSR",
+    "graph_sharded_sage",
+    "make_graph_sharded_eval_step",
     "make_graph_sharded_sampled_forward",
     "make_graph_sharded_train_step",
+    "shard_csr",
     "sharded_device_sample",
     "sharded_sampling_comm_model",
     "make_partitioned_train_step",

@@ -319,13 +319,17 @@ def make_graph_sharded_sampled_forward(
 
 def make_graph_sharded_train_step(
     inner, optimizer, mesh, fanout: Sequence[int],
-    axis_name: str = "data",
+    axis_name: str = "data", *, guard: bool = False,
 ):
     """Jitted train step over the graph-sharded sampler: sync-BN psum,
     globally-masked loss, psummed gradients (exactness rules of
     ``make_dp_train_step``).  Signature: ``(params, state, opt_state,
     step_key, g, seeds [D, S], key_data [D, 2], labels [D, S],
     label_mask [D, S]) -> (params, state, opt_state, loss, n)``.
+
+    ``guard=True`` appends ``make_dp_train_step``'s
+    non-finite-rejection semantics (trailing ``ok`` output; rejected
+    steps keep old params/state/opt bitwise on every replica).
     """
     import dataclasses
     from functools import partial
@@ -341,7 +345,7 @@ def make_graph_sharded_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()) + ((P(),) if guard else ()),
     )
     def step(params, state, opt_state, step_key, g, seeds, key_data,
              labels, label_mask):
@@ -371,7 +375,19 @@ def make_graph_sharded_train_step(
             optimizer, axis_name, params, opt_state, local_sum, local_n,
             grads,
         )
-        return new_params, new_state, new_opt_state, loss, n
+        if not guard:
+            return new_params, new_state, new_opt_state, loss, n
+
+        from connectome_gnn_tpu.train import fault
+
+        ok = fault.all_finite(loss, grads, new_state)
+        trees, loss, n, ok_f = fault.guard_step_outputs(
+            ok,
+            (new_params, new_state, new_opt_state),
+            (params, state, opt_state),
+            loss, n,
+        )
+        return (*trees, loss, n, ok_f)
 
     return step
 
@@ -410,3 +426,138 @@ def sharded_sampling_comm_model(
             hop_bytes / max(D - 1, 1) + feat_bytes / max(D - 1, 1)
         ),
     }
+
+
+def shard_csr(
+    g: ShardedGraphCSR, mesh, axis_name: str = "data"
+) -> ShardedGraphCSR:
+    """Place a :class:`ShardedGraphCSR`'s ``[D, ...]`` leaves with shard
+    ``d`` on mesh position ``d`` (one-time cost, like
+    :func:`~connectome_gnn_tpu.parallel.sampled_dp.replicate_csr` but
+    sharded, not replicated).  Uses ``make_array_from_callback`` so each
+    process materializes only its addressable rows in multi-process runs
+    (the host-side partition is cheap numpy; the device transfer is the
+    cost that matters and it is per-shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def put(x):
+        sh = NamedSharding(
+            mesh, PartitionSpec(axis_name, *([None] * (x.ndim - 1)))
+        )
+        if getattr(x, "sharding", None) == sh:
+            return x
+        xn = np.asarray(x)
+        return jax.make_array_from_callback(
+            xn.shape, sh, lambda idx: xn[idx]
+        )
+
+    return jax.tree_util.tree_map(put, g)
+
+
+def make_graph_sharded_eval_step(
+    inner, mesh, fanout: Sequence[int], axis_name: str = "data"
+):
+    """Jitted graph-sharded eval step returning global ``(loss_sum,
+    correct, n_real)`` — the :meth:`Trainer.evaluate` contract, psummed
+    across shards.  Signature: ``(params, state, g, seeds [D, S],
+    key_data [D, 2], labels [D, S], label_mask [D, S])``."""
+    import dataclasses
+    from functools import partial
+
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()),
+    )
+    def ev(params, state, g, seeds, key_data, labels, label_mask):
+        batch = sharded_device_sample(
+            g, seeds[0], jax.random.wrap_key_data(key_data[0]),
+            fanout, axis_name=axis_name,
+        )
+        batch = dataclasses.replace(
+            batch, labels=labels[0], label_mask=label_mask[0]
+        )
+        logits, _ = inner.apply(params, state, batch, train=False)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch.labels
+        )
+        m = batch.label_mask.astype(jnp.float32)
+        correct = jnp.sum(
+            (jnp.argmax(logits, axis=1) == batch.labels).astype(jnp.int32)
+            * batch.label_mask
+        )
+        return (
+            jax.lax.psum(jnp.sum(ce * m), axis_name),
+            jax.lax.psum(correct, axis_name),
+            jax.lax.psum(jnp.sum(m), axis_name),
+        )
+
+    return ev
+
+
+class GraphShardedSampledModel:
+    """Product-API wrapper for beyond-replication training: the
+    :class:`~connectome_gnn_tpu.train.Trainer` in mesh mode drives
+    graph-sharded sampled training/eval exactly like the replicated
+    device-sampled path — same sharded :class:`~connectome_gnn_tpu.data.
+    device_sampling.DeviceSeedLoader`, same fit/evaluate surface — but
+    no device ever holds the whole graph.
+
+    SAGE-family inners only (the sharded sampler is the multiset mode;
+    see module docstring).  Build via :func:`graph_sharded_sage`.
+    """
+
+    def __init__(self, csr: ShardedGraphCSR, inner, fanout: Sequence[int]):
+        from connectome_gnn_tpu.models.node_coo import NodeGCN
+
+        if isinstance(inner, NodeGCN):
+            raise ValueError(
+                "graph-sharded sampling is multiset-mode: SAGE-family "
+                "inners only (GCN sender-degree normalization changes "
+                "meaning under duplicated sender slots)"
+            )
+        self.csr = csr
+        self.inner = inner
+        self.fanout = tuple(int(f) for f in fanout)
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def make_loader(self, seed_pool, node_labels=None, **kw):
+        """A sharded :class:`DeviceSeedLoader` (``num_shards`` defaults
+        to the partition's shard count; batches carry NO DeviceGraphCSR
+        — the graph rides as the sharded step's explicit argument)."""
+        from connectome_gnn_tpu.data.device_sampling import DeviceSeedLoader
+
+        kw.setdefault("num_shards", self.csr.num_shards)
+        return DeviceSeedLoader(seed_pool, node_labels, **kw)
+
+
+def graph_sharded_sage(
+    graph: ConnectomeGraph,
+    num_shards: int,
+    *,
+    hidden_dim: int = 64,
+    num_classes: int = 2,
+    num_layers: int = 2,
+    fanout: Sequence[int] = (10, 10),
+) -> GraphShardedSampledModel:
+    """Partition ``graph`` into ``num_shards`` node ranges and wrap a
+    :class:`~connectome_gnn_tpu.models.node_coo.BlockedNodeSAGE` for
+    Trainer-driven graph-sharded sampled training."""
+    from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
+
+    csr = ShardedGraphCSR.partition(graph, num_shards)
+    inner = BlockedNodeSAGE(
+        in_channels=graph.num_features,
+        hidden_dim=hidden_dim,
+        num_classes=num_classes,
+        num_layers=num_layers,
+    )
+    return GraphShardedSampledModel(csr, inner, fanout)

@@ -302,6 +302,50 @@ class Trainer:
         return cache[key]
 
     # ------------------------------------------------------------------
+    # Graph-sharded sampled dispatch (no device holds the whole graph)
+    # ------------------------------------------------------------------
+
+    def _is_graph_sharded(self) -> bool:
+        from connectome_gnn_tpu.parallel.sharded_sampling import (
+            GraphShardedSampledModel,
+        )
+
+        return isinstance(self.model, GraphShardedSampledModel)
+
+    def _graph_sharded_step(self, train: bool):
+        """Cached shard_map step builders for a
+        :class:`~connectome_gnn_tpu.parallel.sharded_sampling.
+        GraphShardedSampledModel` (the beyond-replication mode: the
+        partitioned graph rides sharded over the mesh axis)."""
+        cache = self.__dict__.setdefault("_gs_cache", {})
+        if train not in cache:
+            from connectome_gnn_tpu.parallel.sharded_sampling import (
+                make_graph_sharded_eval_step,
+                make_graph_sharded_train_step,
+            )
+
+            m = self.model
+            if train:
+                cache[train] = make_graph_sharded_train_step(
+                    m.inner, self.optimizer, self.mesh, m.fanout,
+                    self.axis_name, guard=self.skip_nonfinite,
+                )
+            else:
+                cache[train] = make_graph_sharded_eval_step(
+                    m.inner, self.mesh, m.fanout, self.axis_name
+                )
+        return cache[train]
+
+    def _placed_sharded_csr(self):
+        if "_gs_csr" not in self.__dict__:
+            from connectome_gnn_tpu.parallel.sharded_sampling import shard_csr
+
+            self._gs_csr = shard_csr(
+                self.model.csr, self.mesh, self.axis_name
+            )
+        return self._gs_csr
+
+    # ------------------------------------------------------------------
     # Public API (mirrors reference train.py:41-127)
     # ------------------------------------------------------------------
 
@@ -336,7 +380,14 @@ class Trainer:
                 )
             else:
                 self._rng, step_key = jax.random.split(self._rng)
-                if self._is_seed_batch(batch):
+                if self._is_seed_batch(batch) and self._is_graph_sharded():
+                    out = self._graph_sharded_step(train=True)(
+                        self.params, self.state, self.opt_state, step_key,
+                        self._placed_sharded_csr(), batch.seeds,
+                        batch.key_data, batch.labels,
+                        batch.label_mask,
+                    )
+                elif self._is_seed_batch(batch):
                     out = self._device_sampled_dp_step(
                         batch.labeled, train=True
                     )(
@@ -427,6 +478,14 @@ class Trainer:
             batch = self._maybe_global(batch)
             if self.mesh is None:
                 sums.append(self._eval_step(self.params, self.state, batch))
+            elif self._is_seed_batch(batch) and self._is_graph_sharded():
+                sums.append(
+                    self._graph_sharded_step(train=False)(
+                        self.params, self.state,
+                        self._placed_sharded_csr(), batch.seeds,
+                        batch.key_data, batch.labels, batch.label_mask,
+                    )
+                )
             elif self._is_seed_batch(batch):
                 sums.append(
                     self._device_sampled_dp_step(batch.labeled, train=False)(

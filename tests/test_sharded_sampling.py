@@ -225,3 +225,66 @@ class TestTraining:
             losses.append(float(loss))
             assert float(n) == 4 * S
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.05
+
+
+@pytest.mark.slow
+class TestTrainerGraphSharded:
+    """Product-API reachability: Trainer(mesh=...) drives graph-sharded
+    sampled training/eval through GraphShardedSampledModel exactly like
+    the replicated device-sampled path."""
+
+    def test_trainer_fit_learns_one_hop_task(self, cpu_devices):
+        from connectome_gnn_tpu.parallel import graph_sharded_sage
+        from connectome_gnn_tpu.train import Trainer
+
+        g = _graph(n=512, degree=8, band=32)
+        src, dst = g.edge_index
+        num = np.zeros(g.num_nodes)
+        den = np.zeros(g.num_nodes)
+        np.add.at(num, dst, g.edge_weight * g.node_features[src, 0])
+        np.add.at(den, dst, g.edge_weight)
+        agg = num / (den + 1e-8)
+        labels = (agg > np.median(agg)).astype(np.int32)
+
+        mesh = create_mesh(devices=cpu_devices[:4])
+        model = graph_sharded_sage(
+            g, num_shards=4, hidden_dim=32, fanout=(8, 8)
+        )
+        tr = model.make_loader(
+            np.arange(g.num_nodes), labels, batch_size=128, seed=0,
+            drop_last=True,
+        )
+        va = model.make_loader(
+            np.arange(g.num_nodes), labels, batch_size=128, seed=1,
+            shuffle=False, drop_last=True,
+        )
+        trainer = Trainer(model, mesh=mesh, seed=0)
+        hist = trainer.fit(tr, va, num_epochs=8, patience=20, verbose=False)
+        assert hist["train_loss"][-1] < hist["train_loss"][0]
+        m = trainer.evaluate(va)
+        assert m["total"] == 512
+        assert m["accuracy"] > 0.6
+
+    def test_loader_defaults_to_partition_shards(self):
+        from connectome_gnn_tpu.parallel import graph_sharded_sage
+
+        g = _graph()
+        model = graph_sharded_sage(g, num_shards=4, fanout=(4, 4))
+        lo = model.make_loader(np.arange(g.num_nodes), batch_size=64)
+        assert lo.num_shards == 4
+        b = next(iter(lo))
+        assert b.stacked and b.packed.shape[0] == 4
+        assert b.csr is None  # the graph rides as the step's argument
+
+    def test_rejects_gcn_inner(self):
+        from connectome_gnn_tpu.models.node_coo import NodeGCN
+        from connectome_gnn_tpu.parallel import (
+            GraphShardedSampledModel, ShardedGraphCSR,
+        )
+
+        g = _graph()
+        csr = ShardedGraphCSR.partition(g, 4)
+        with pytest.raises(ValueError, match="SAGE-family"):
+            GraphShardedSampledModel(
+                csr, NodeGCN(in_channels=5, hidden_dim=8), (4, 4)
+            )
