@@ -1350,7 +1350,8 @@ def bench_device_sampled_train(num_nodes=262_144, degree=16, batch=1024,
 
 
 def bench_device_sampled_dp(num_nodes=262_144, degree=16, batch=1024,
-                            fanout=(10, 10), steps=30):
+                            fanout=(10, 10), steps=30, family="gcn",
+                            dedup=True):
     """Config SDP: device-sampled training COMPOSED with the DP mesh
     layer (VERDICT r3 #1): CSR replicated over a ``("data",)`` mesh of
     every visible device, stacked seed rows sharded, sampling fused into
@@ -1359,15 +1360,22 @@ def bench_device_sampled_dp(num_nodes=262_144, degree=16, batch=1024,
     ONE real chip — the number measures the composed path's overhead vs
     config SD (shard_map + stacked loader + replicated-csr plumbing);
     the N>1 numerics/comm side is proven in benchmarks/multiprocess.py
-    (device_sampled_dp program, gloo)."""
+    (device_sampled_dp program, gloo).  ``family``/``dedup`` compose the
+    SAGE multiset mode through the mesh (config SDMP)."""
     import numpy as np
 
-    from connectome_gnn_tpu.data import device_sampled_gcn
+    from connectome_gnn_tpu.data import (device_sampled_gcn,
+                                         device_sampled_sage)
     from connectome_gnn_tpu.parallel import create_mesh
     from connectome_gnn_tpu.train import Trainer
 
     g, labels = _sampled_graph(num_nodes, degree)
-    model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    if family == "gcn":
+        model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    else:
+        model = device_sampled_sage(
+            g, hidden_dim=64, fanout=fanout, dedup=dedup
+        )
     mesh = create_mesh(axis_names=("data",))
     D = int(mesh.shape["data"])
     loader = model.make_loader(
@@ -1394,7 +1402,8 @@ def bench_device_sampled_dp(num_nodes=262_144, degree=16, batch=1024,
     @jax.jit
     def _count(csr, seeds, key_data):
         s = device_sample(
-            csr, seeds, jax.random.wrap_key_data(key_data), fanout
+            csr, seeds, jax.random.wrap_key_data(key_data), fanout,
+            dedup=dedup,
         )
         return (s.edge_weight > 0).sum()
 
@@ -1627,6 +1636,12 @@ BENCHES = {
              "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
              lambda: bench_device_sampled_dp(
                  num_nodes=1 << 20, degree=38)),
+    "SDMP": ("device-sampled MULTISET training through the DP mesh "
+             "composition (SAGE dedup=False, stacked seed rows, "
+             "replicated CSR), 262k-node graph, 1024 seeds/step, "
+             "fanout 10x10",
+             lambda: bench_device_sampled_dp(
+                 family="sage", dedup=False)),
     "SE": ("WHOLE-EPOCH-on-device sampled training (lax.scan over packed "
            "seed chunks, one transfer + one dispatch per epoch), 262k-node "
            "graph, 1024 seeds/step, fanout 10x10",
@@ -1663,7 +1678,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SE,SE2,SME,SME2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SDMP,SE,SE2,SME,SME2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
