@@ -661,20 +661,19 @@ class DeviceSampledModel:
         self.inner = inner
         self.fanout = tuple(int(f) for f in fanout)
         self.dedup = bool(dedup)
-        if not self.dedup:
+        if not self.dedup and not getattr(inner, "multiset_safe", False):
             # Multiset (dedup=False) sampling gives every draw its own
-            # node slot; GCN-family layers normalize by SENDER degree, so
-            # duplicated sender slots silently change the estimator.
-            # SAGE's receiver-side weighted mean is invariant to the
-            # duplication (see device_sampled_sage) — restrict to it.
-            from connectome_gnn_tpu.models.node_coo import NodeGCN
-
-            if isinstance(inner, NodeGCN):
-                raise ValueError(
-                    "dedup=False (multiset sampling) is only valid for "
-                    "the SAGE family: GCN sender-degree normalization "
-                    "changes meaning under duplicated sender slots"
-                )
+            # node slot; sender-degree normalization (GCN-style)
+            # silently changes the estimator under duplicated sender
+            # slots.  SAGE's receiver-side weighted mean is invariant
+            # (see device_sampled_sage) — allowlist on the
+            # multiset_safe marker, not a class blocklist.
+            raise ValueError(
+                "dedup=False (multiset sampling) is only valid for "
+                "SAGE-family inners declaring multiset_safe = True: "
+                "sender-degree normalization changes meaning under "
+                "duplicated sender slots"
+            )
 
     def init(self, key: jax.Array):
         return self.inner.init(key)

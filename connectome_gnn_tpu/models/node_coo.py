@@ -147,10 +147,17 @@ class BlockedNodeGCN(NodeGCN):
 
 class NodeSAGE(_NodeModel):
     """L-layer node-classification GraphSAGE (ReLU inside the layer,
-    none after BN — the reference asymmetry, models.py:256-262)."""
+    none after BN — the reference asymmetry, models.py:256-262).
+
+    ``multiset_safe``: SAGE aggregation is a receiver-side weighted
+    mean, invariant to the multiset sampler's duplicated sender slots —
+    the marker the multiset/graph-sharded wrappers allowlist on (GCN's
+    sender-degree normalization is NOT invariant and must not carry
+    it)."""
 
     _layer_apply = staticmethod(sage_layer_apply)
     _relu_after_norm = False
+    multiset_safe = True
 
     def init(self, key: jax.Array) -> tuple[dict, dict]:
         return init_node_sage_params(

@@ -48,6 +48,7 @@ from connectome_gnn_tpu.parallel.sampled_dp import (
     replicate_csr,
 )
 from connectome_gnn_tpu.parallel.sharded_sampling import (
+    CompactionConfig,
     GraphShardedSampledModel,
     ShardedGraphCSR,
     graph_sharded_sage,
@@ -56,8 +57,10 @@ from connectome_gnn_tpu.parallel.sharded_sampling import (
     make_graph_sharded_train_step,
     shard_csr,
     sharded_device_sample,
+    sharded_device_sample_with_stats,
     sharded_sampling_comm_model,
 )
+from connectome_gnn_tpu.parallel.comm_accounting import count_collective_bytes
 
 __all__ = [
     "assemble_global",
@@ -85,9 +88,12 @@ __all__ = [
     "make_dp_eval_step",
     "make_dp_train_step",
     "replicate_csr",
+    "CompactionConfig",
     "GraphShardedSampledModel",
     "ShardedGraphCSR",
+    "count_collective_bytes",
     "graph_sharded_sage",
+    "sharded_device_sample_with_stats",
     "make_graph_sharded_eval_step",
     "make_graph_sharded_sampled_forward",
     "make_graph_sharded_train_step",

@@ -9,18 +9,51 @@ sentence is about graphs that CANNOT do that.  This module is the
 beyond-replication mode: nodes split into ``D`` contiguous ranges, each
 device holding only its range's in-adjacency rows (packed
 (sender, weight) pairs) and feature rows, and each hop of the fanout
-sample resolves remote rows with mesh collectives:
+sample resolves remote rows with mesh collectives.
 
-1. ``all_gather`` of every device's frontier ids (tiny: ``D·Fb·4`` B);
-2. each OWNER draws the fanout sample for every request it owns —
-   randomness is keyed by ``fold_in(hop_key, requester)`` so the draw
-   for a given (requester, slot) is identical no matter which device
-   owns the node (this is what makes the scheme a well-defined sampler,
-   and what the keep-all oracle exercises);
-3. ``all_to_all`` routes each answer block back to its requester, and a
-   per-slot owner select keeps exactly the valid block;
-4. drawn-sender features resolve the same way (gather-by-owner →
-   ``all_to_all`` → select).
+Two exchange kernels, selected by ``compaction``:
+
+* **Full-frontier broadcast** (``compaction=None`` — the oracle):
+  ``all_gather`` every device's frontier, every OWNER answers every
+  request slot (masked to owned), ``all_to_all`` the packed answers
+  back with a per-slot owner select.  Every buffer is static and the
+  result is exact, but the payload is ``D×`` the minimum — each owner
+  ships answers for slots it does not own.
+* **Compacted exchange** (``compaction=CompactionConfig(...)`` — the
+  production kernel, round 5): requests owned by THIS device are
+  answered locally with no collective at all; remote requests are
+  bucketed per owner with a STATIC capacity ``C = ceil(alpha·n/D)``
+  per (requester → owner) pair per round, and ``rounds`` compacted
+  ``all_to_all`` exchanges carry them (ids+slot out, packed answers
+  back).  Payload drops from ``Θ(D·n)`` to ``Θ(alpha·rounds·n)`` —
+  counted, not modeled, in ``benchmarks/sharded_exchange.py``.
+  Collectives move whole static buffers, so exact per-owner compaction
+  needs the capacity bound: the scheme is EXACT (bitwise equal to the
+  broadcast exchange — ``tests/test_sharded_sampling.py``) whenever no
+  (requester → owner) pair carries more than ``rounds·C`` remote
+  requests; beyond that, overflowing requests are dropped (they sample
+  zero neighbors / zero features) and COUNTED — the per-step overflow
+  counter is surfaced by ``sharded_device_sample_with_stats`` and the
+  step builders, so training can assert it stays 0.  An adversarial
+  frontier (every request owned by one remote shard) needs
+  ``rounds = D/alpha`` for exactness — that bound, and the choice of
+  semantic (masked carry-over rounds, NOT statistical drop: the
+  sampler's keep-all oracle survives verbatim when overflow is 0), is
+  the round-5 design decision recorded here.
+
+Randomness is keyed ``fold_in(fold_in(hop_key, requester), slot)`` so
+the draw for a given (requester, frontier slot) is identical no matter
+WHICH device owns the node and WHICH exchange resolves it — this is
+what makes the scheme a well-defined sampler, what the keep-all oracle
+exercises, and what makes compacted == broadcast bitwise.
+
+Owner-side draw buffers are bounded by ``max_in_degree``: the broadcast
+exchange materializes ``[D, Fb, max_deg]`` uniforms per hop and the
+compacted one ``[D, C, max_deg]`` — a GLOBAL static bound, so one
+power-law hub node sets ``max_deg`` for the whole buffer.  At the
+north-star shapes (max_deg ≈ 100) this is noise; for skewed-degree
+graphs budget ``4·D·C·max_deg`` bytes per hop or pre-clamp in-degrees
+at partition time (drop edges beyond a cap) before sharding.
 
 Sampling semantics are the MULTISET mode of
 :func:`~connectome_gnn_tpu.data.device_sampling.device_sample`
@@ -32,12 +65,6 @@ eval-mode model outputs must match the single-device sampler exactly
 (``tests/test_sharded_sampling.py``).  SAGE-family inners only (the
 multiset restriction, see ``device_sampled_sage``).
 
-This exchange ships ``D×`` the minimal payload (owners answer EVERY
-request slot, not just owned ones — full-frontier broadcast keeps every
-buffer static).  The analytic ICI projection and the compaction lever
-(send only owned requests: expected payload drops ``D×``) live in
-docs/ARCHITECTURE.md §"Graph-sharded sampling".
-
 Reference counterpart: the single-device ``.to(device)`` residency model
 of `/root/reference/connectome_gnn/graph.py:87-94`, generalized to
 graphs that cannot fit one device.
@@ -45,6 +72,7 @@ graphs that cannot fit one device.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence
 
 import jax
@@ -54,6 +82,32 @@ import numpy as np
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.sampled import HopBlock, SampledNodeBatch
 from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+@dataclasses.dataclass(frozen=True)
+class CompactionConfig:
+    """Static knobs of the compacted exchange (see module docstring).
+
+    alpha
+        Capacity factor: each (requester → owner) bucket holds
+        ``C = ceil(alpha · n / D)`` requests per round (``n`` = the
+        hop's frontier size or the feature stage's node budget) —
+        ``alpha`` is relative to the uniform-ownership expectation
+        ``n/D``.  Locally-answered requests consume NO capacity, so for
+        locality-rich partitions the buckets carry only the (small)
+        remote tail.
+    rounds
+        Masked carry-over rounds.  Exact up to ``rounds·C`` remote
+        requests per (requester → owner) pair; beyond that requests
+        drop (and count).  Payload scales linearly in ``rounds`` —
+        buckets ship padded whether full or empty.
+    """
+
+    alpha: float = 2.0
+    rounds: int = 2
+
+    def capacity(self, n: int, D: int) -> int:
+        return max(1, -(-int(round(self.alpha * n)) // D))
 
 
 @pytree_dataclass
@@ -85,7 +139,13 @@ class ShardedGraphCSR:
     def partition(
         cls, graph: ConnectomeGraph, num_shards: int
     ) -> "ShardedGraphCSR":
-        """Host-side one-time partition (receiver sort per shard)."""
+        """Host-side one-time partition (receiver sort per shard).
+
+        Materializes ALL ``D`` shards in this process's memory — fine
+        when the graph fits the host.  For graphs that don't (the scale
+        this mode exists for), use :func:`partition_streamed`, which
+        builds only a chosen shard range from a chunked COO stream.
+        """
         D = int(num_shards)
         N = graph.num_nodes
         P = -(-N // D)
@@ -140,9 +200,115 @@ def _exchange_select(local_answers, owner, axis_name):
     exchanged = jax.lax.all_to_all(
         local_answers, axis_name, split_axis=0, concat_axis=0, tiled=False
     )
-    idx = owner[None, :, None] if exchanged.ndim == 3 else owner[None, :]
+    idx = owner.reshape((1, -1) + (1,) * (exchanged.ndim - 2))
     sel = jnp.take_along_axis(exchanged, idx.astype(jnp.int32), axis=0)
     return sel[0]
+
+
+def _slot_uniforms(req_key: jax.Array, slots: jnp.ndarray, max_deg: int):
+    """Per-request-slot uniforms ``[..., max_deg]``, keyed
+    ``fold_in(req_key, slot)`` — identical however the request is
+    routed (broadcast, compacted, or answered locally)."""
+    flat = jnp.maximum(slots, 0).reshape(-1).astype(jnp.int32)
+    u = jax.vmap(
+        lambda s: jax.random.uniform(
+            jax.random.fold_in(req_key, s), (max_deg,)
+        )
+    )(flat)
+    return u.reshape(slots.shape + (max_deg,))
+
+
+def _owner_answer(indptr, sw_tab, lo, P, Emax, nodes, u, f_eff):
+    """Fanout draws for request ``nodes`` against THIS shard's rows.
+
+    ``nodes``: int32 ``[...]`` global ids (-1 = no request);
+    ``u``: ``[..., max_deg]`` per-slot uniforms.  Returns packed int32
+    ``[..., f_eff, 2]`` (sender id, bitcast f32 weight); sender is -1
+    (weight bits 0) where the node is not owned here, invalid, or has
+    fewer than ``f_eff`` in-edges.
+    """
+    owned = (nodes >= lo) & (nodes < lo + P)
+    nl = jnp.clip(nodes - lo, 0, P - 1)
+    deg = jnp.where(owned, indptr[nl + 1] - indptr[nl], 0)
+    pos_ok = (
+        jnp.arange(u.shape[-1], dtype=jnp.int32) < deg[..., None]
+    )
+    scores = jnp.where(pos_ok, u, -1.0)
+    vals, pos = jax.lax.top_k(scores, f_eff)
+    evalid = (vals >= 0.0) & owned[..., None]
+    eid = jnp.clip(indptr[nl][..., None] + pos, 0, Emax - 1)
+    rows = sw_tab[eid]  # [..., f_eff, 2]
+    snd = jnp.where(evalid, rows[..., 0], -1)
+    wbits = jnp.where(evalid, rows[..., 1], 0)
+    return jnp.stack([snd, wbits], axis=-1)
+
+
+def _compact_schedule(ids, owner, eligible, D: int, C: int, R: int):
+    """Assign each eligible request slot a (round, owner-bucket
+    position) via ONE stable sort by owner: sorted rank within the
+    owner group ``r`` maps to round ``r // C``, position ``r % C``.
+
+    Returns ``req_ids [R, D, C]`` (global id, -1 pad),
+    ``req_slot [R, D, C]`` (requester-local slot, -1 pad), and the
+    overflow count (eligible slots whose rank is beyond ``R·C``)."""
+    n = int(ids.shape[0])
+    i32 = jnp.int32
+    iota = jnp.arange(n, dtype=i32)
+    okey = jnp.where(eligible, owner, D)
+    sk, order = jax.lax.sort((okey, iota), num_keys=1)
+    elig_sorted = sk < D
+    first = elig_sorted & jnp.concatenate(
+        [jnp.ones(1, bool), sk[1:] != sk[:-1]]
+    )
+    gstart = jax.lax.cummax(jnp.where(first, iota, -1))
+    rank = iota - gstart
+    rnd = rank // C
+    pos = rank - rnd * C
+    ok = elig_sorted & (rnd < R)
+    overflow = jnp.sum((elig_sorted & (rnd >= R)).astype(i32))
+    flat = jnp.where(ok, (rnd * D + sk) * C + pos, R * D * C)
+    req_ids = (
+        jnp.full(R * D * C, -1, i32)
+        .at[flat]
+        .set(ids[order], mode="drop")
+        .reshape(R, D, C)
+    )
+    req_slot = (
+        jnp.full(R * D * C, -1, i32)
+        .at[flat]
+        .set(order, mode="drop")
+        .reshape(R, D, C)
+    )
+    return req_ids, req_slot, overflow
+
+
+def _compacted_rounds(
+    req_ids, req_slot, answer_fn, out_buf, axis_name
+):
+    """Run the ``R`` compacted request/answer exchanges and scatter the
+    answers back into ``out_buf [n, ...]`` at their requester slots.
+
+    ``answer_fn(nodes [D, C], slots [D, C]) -> ans [D, C, ...]`` runs
+    owner-side; after the return ``all_to_all`` the leading axis
+    indexes the OWNER each bucket was sent to.
+    """
+    R, D, C = (int(s) for s in req_ids.shape)
+    for r in range(R):
+        req = jnp.stack([req_ids[r], req_slot[r]], axis=-1)  # [D, C, 2]
+        recv = jax.lax.all_to_all(
+            req, axis_name, split_axis=0, concat_axis=0
+        )  # [D, C, 2] — axis 0 = requester mesh index
+        ans = answer_fn(recv[..., 0], recv[..., 1])
+        ans_back = jax.lax.all_to_all(
+            ans, axis_name, split_axis=0, concat_axis=0
+        )  # axis 0 = owner
+        tgt = jnp.where(
+            req_slot[r] >= 0, req_slot[r], out_buf.shape[0]
+        ).reshape(-1)
+        out_buf = out_buf.at[tgt].set(
+            ans_back.reshape((D * C,) + ans_back.shape[2:]), mode="drop"
+        )
+    return out_buf
 
 
 def sharded_device_sample(
@@ -152,6 +318,7 @@ def sharded_device_sample(
     fanout: Sequence[int],
     *,
     axis_name: str = "data",
+    compaction: Optional[CompactionConfig] = None,
 ) -> SampledNodeBatch:
     """Multiset fanout sample with node-partitioned graph state — call
     INSIDE ``shard_map`` (``g`` leaves are the local ``[1, ...]`` shard
@@ -159,11 +326,29 @@ def sharded_device_sample(
 
     Returns this device's :class:`SampledNodeBatch` (multiset layout:
     seeds first, then hop draws in emission order; ``node_ids`` carry
-    GLOBAL ids).  Randomness: hop ``h``'s draw for requester ``r`` uses
-    ``fold_in(split(key)[h], r)`` — owner-independent, so the sample is
-    a well-defined function of (key, shard index) however the graph is
-    partitioned.
+    GLOBAL ids).  ``compaction`` selects the compacted exchange (see
+    module docstring; overflow counter discarded — use
+    :func:`sharded_device_sample_with_stats` to surface it).
     """
+    batch, _ = sharded_device_sample_with_stats(
+        g, seeds, key, fanout, axis_name=axis_name, compaction=compaction
+    )
+    return batch
+
+
+def sharded_device_sample_with_stats(
+    g: ShardedGraphCSR,
+    seeds: jnp.ndarray,
+    key: jax.Array,
+    fanout: Sequence[int],
+    *,
+    axis_name: str = "data",
+    compaction: Optional[CompactionConfig] = None,
+):
+    """As :func:`sharded_device_sample`, returning ``(batch, overflow)``
+    where ``overflow`` is this device's int32 count of request slots
+    dropped by the compacted exchange's capacity bound (always 0 for
+    the broadcast exchange)."""
     indptr = g.indptr[0]
     sw_tab = g.sender_weight[0]
     feats = g.node_features[0]
@@ -181,6 +366,7 @@ def sharded_device_sample(
     frontier = jnp.where(svalid, seeds, -1)
     frontier_start = 0
     offset = S
+    overflow = jnp.zeros((), i32)
 
     all_nodes_parts = [frontier]
     senders_parts, receivers_parts, weight_parts = [], [], []
@@ -189,42 +375,74 @@ def sharded_device_sample(
         key, sub = jax.random.split(key)
         Fb = int(frontier.shape[0])
         f_eff = min(f, max_deg)
+        owner = jnp.clip(jnp.maximum(frontier, 0) // P, 0, D - 1)
+        valid = frontier >= 0
 
-        # 1) broadcast every device's frontier
-        frontier_all = jax.lax.all_gather(frontier, axis_name)  # [D, Fb]
+        if compaction is None:
+            # 1) broadcast every device's frontier
+            frontier_all = jax.lax.all_gather(
+                frontier, axis_name
+            )  # [D, Fb]
+            # 2) owner-side draws for EVERY request slot (masked owned)
+            req_keys = jax.vmap(
+                lambda r: jax.random.fold_in(sub, r)
+            )(jnp.arange(D, dtype=jnp.uint32))
+            slots = jnp.broadcast_to(
+                jnp.arange(Fb, dtype=i32)[None], (D, Fb)
+            )
+            u = jax.vmap(_slot_uniforms, in_axes=(0, 0, None))(
+                req_keys, slots, max_deg
+            )  # [D, Fb, max_deg]
+            ans = _owner_answer(
+                indptr, sw_tab, lo, P, Emax, frontier_all, u, f_eff
+            )  # [D, Fb, f, 2]
+            # 3) route answers back; keep the authoritative owner/slot
+            packed = _exchange_select(ans, owner, axis_name)  # [Fb, f, 2]
+        else:
+            # local requests answered with no collective at all
+            local = valid & (owner == me)
+            key_me = jax.random.fold_in(sub, me.astype(jnp.uint32))
+            u_loc = _slot_uniforms(
+                key_me, jnp.arange(Fb, dtype=i32), max_deg
+            )
+            ans_loc = _owner_answer(
+                indptr, sw_tab, lo, P, Emax,
+                jnp.where(local, frontier, -1), u_loc, f_eff,
+            )  # [Fb, f, 2]
+            # remote requests: per-owner buckets, R compacted rounds
+            C = compaction.capacity(Fb, D)
+            req_ids, req_slot, ovf = _compact_schedule(
+                frontier, owner, valid & (owner != me),
+                D, C, compaction.rounds,
+            )
+            overflow = overflow + ovf
 
-        # 2) owner-side draws for EVERY request slot (masked to owned)
-        v = frontier_all
-        owned = (v >= lo) & (v < lo + P)
-        vl = jnp.clip(v - lo, 0, P - 1)
-        deg = jnp.where(
-            owned, indptr[vl + 1] - indptr[vl], 0
-        )  # [D, Fb]
-        req_keys = jax.vmap(
-            lambda r: jax.random.fold_in(sub, r)
-        )(jnp.arange(D, dtype=jnp.uint32))
-        u = jax.vmap(
-            lambda k: jax.random.uniform(k, (Fb, max_deg))
-        )(req_keys)  # [D, Fb, max_deg]
-        pos_ok = (
-            jnp.arange(max_deg, dtype=i32)[None, None, :] < deg[..., None]
-        )
-        scores = jnp.where(pos_ok, u, -1.0)
-        vals, pos = jax.lax.top_k(scores, f_eff)  # [D, Fb, f]
-        evalid_own = (vals >= 0.0) & owned[..., None]
-        eid = jnp.clip(indptr[vl][..., None] + pos, 0, Emax - 1)
-        rows = sw_tab[eid]  # [D, Fb, f, 2]
-        snd_own = jnp.where(evalid_own, rows[..., 0], -1)
-        w_own = jnp.where(
-            evalid_own,
-            jax.lax.bitcast_convert_type(rows[..., 1], jnp.float32),
+            def edge_answer(nodes, slots):
+                req_keys = jax.vmap(
+                    lambda r: jax.random.fold_in(sub, r)
+                )(jnp.arange(D, dtype=jnp.uint32))
+                u = jax.vmap(_slot_uniforms, in_axes=(0, 0, None))(
+                    req_keys, slots, max_deg
+                )  # [D, C, max_deg]
+                return _owner_answer(
+                    indptr, sw_tab, lo, P, Emax, nodes, u, f_eff
+                )
+
+            inv = jnp.stack(
+                [jnp.full((Fb, f_eff), -1, i32),
+                 jnp.zeros((Fb, f_eff), i32)], axis=-1,
+            )
+            remote = _compacted_rounds(
+                req_ids, req_slot, edge_answer, inv, axis_name
+            )
+            packed = jnp.where(local[:, None, None], ans_loc, remote)
+
+        snd = packed[..., 0]  # [Fb, f]
+        wv = jnp.where(
+            snd >= 0,
+            jax.lax.bitcast_convert_type(packed[..., 1], jnp.float32),
             0.0,
         )
-
-        # 3) route answers back; keep the authoritative owner per slot
-        owner = jnp.clip(jnp.maximum(frontier, 0) // P, 0, D - 1)
-        snd = _exchange_select(snd_own, owner, axis_name)  # [Fb, f]
-        wv = _exchange_select(w_own, owner, axis_name)
 
         evalid_flat = (snd >= 0).reshape(-1)
         rloc_rows = frontier_start + jnp.arange(Fb, dtype=i32)
@@ -255,16 +473,41 @@ def sharded_device_sample(
     # 4) features for every node slot, resolved by owner exchange
     all_nodes = jnp.concatenate(all_nodes_parts)
     node_mask = all_nodes >= 0
-    ids_all = jax.lax.all_gather(all_nodes, axis_name)  # [D, NBud]
-    owned = (ids_all >= lo) & (ids_all < lo + P)
-    il = jnp.clip(ids_all - lo, 0, P - 1)
-    x_own = jnp.where(owned[..., None], feats[il], 0.0)  # [D, NBud, F]
     owner = jnp.clip(jnp.maximum(all_nodes, 0) // P, 0, D - 1)
-    x = _exchange_select(x_own, owner, axis_name)
+    NBud = int(all_nodes.shape[0])
+    F = int(feats.shape[-1])
+    if compaction is None:
+        ids_all = jax.lax.all_gather(all_nodes, axis_name)  # [D, NBud]
+        owned = (ids_all >= lo) & (ids_all < lo + P)
+        il = jnp.clip(ids_all - lo, 0, P - 1)
+        x_own = jnp.where(owned[..., None], feats[il], 0.0)
+        x = _exchange_select(x_own, owner, axis_name)
+    else:
+        local = node_mask & (owner == me)
+        il = jnp.clip(all_nodes - lo, 0, P - 1)
+        x_loc = jnp.where(local[:, None], feats[il], 0.0)
+        C = compaction.capacity(NBud, D)
+        req_ids, req_slot, ovf = _compact_schedule(
+            all_nodes, owner, node_mask & (owner != me),
+            D, C, compaction.rounds,
+        )
+        overflow = overflow + ovf
+
+        def feat_answer(nodes, slots):
+            del slots
+            owned = (nodes >= lo) & (nodes < lo + P)
+            nl = jnp.clip(nodes - lo, 0, P - 1)
+            return jnp.where(owned[..., None], feats[nl], 0.0)
+
+        x_rem = _compacted_rounds(
+            req_ids, req_slot, feat_answer,
+            jnp.zeros((NBud, F), feats.dtype), axis_name,
+        )
+        x = jnp.where(local[:, None], x_loc, x_rem)
     x = jnp.where(node_mask[:, None], x, 0.0)
 
     zeros_s = jnp.zeros(S, i32)
-    return SampledNodeBatch(
+    batch = SampledNodeBatch(
         node_features=x,
         senders=jnp.concatenate(senders_parts)
         if senders_parts
@@ -283,10 +526,32 @@ def sharded_device_sample(
         num_seeds=S,
         hop_blocks=tuple(hop_blocks) if hop_blocks else None,
     )
+    return batch, overflow
+
+
+def _validate_sharded_args(mesh, axis_name, g, seeds):
+    """Host-side shape contract for the graph-sharded step builders:
+    the partition's shard count and the seed stack's leading axis must
+    BOTH equal the mesh axis size — shard_map would otherwise silently
+    split the ``[D, ...]`` leaves across devices, mis-routing the
+    owner exchange (wrong samples, wrong gradients, no error)."""
+    D = int(mesh.shape[axis_name])
+    if g.num_shards != D:
+        raise ValueError(
+            f"ShardedGraphCSR has {g.num_shards} shards but mesh axis "
+            f"'{axis_name}' has {D} devices — repartition the graph "
+            f"(ShardedGraphCSR.partition(graph, {D}))"
+        )
+    if int(seeds.shape[0]) != D:
+        raise ValueError(
+            f"seeds must be stacked [D, S] with D={D} (one row per "
+            f"mesh device), got shape {tuple(seeds.shape)}"
+        )
 
 
 def make_graph_sharded_sampled_forward(
-    inner, mesh, fanout: Sequence[int], axis_name: str = "data"
+    inner, mesh, fanout: Sequence[int], axis_name: str = "data",
+    *, compaction: Optional[CompactionConfig] = None,
 ):
     """Jitted eval forward over the graph-sharded sampler.
 
@@ -309,29 +574,36 @@ def make_graph_sharded_sampled_forward(
     def fwd(params, state, g, seeds, key_data):
         batch = sharded_device_sample(
             g, seeds[0], jax.random.wrap_key_data(key_data[0]),
-            fanout, axis_name=axis_name,
+            fanout, axis_name=axis_name, compaction=compaction,
         )
         logits, _ = inner.apply(params, state, batch, train=False)
         return logits[None]
 
-    return fwd
+    def fwd_checked(params, state, g, seeds, key_data):
+        _validate_sharded_args(mesh, axis_name, g, seeds)
+        return fwd(params, state, g, seeds, key_data)
+
+    return fwd_checked
 
 
 def make_graph_sharded_train_step(
     inner, optimizer, mesh, fanout: Sequence[int],
     axis_name: str = "data", *, guard: bool = False,
+    compaction: Optional[CompactionConfig] = None,
 ):
     """Jitted train step over the graph-sharded sampler: sync-BN psum,
     globally-masked loss, psummed gradients (exactness rules of
     ``make_dp_train_step``).  Signature: ``(params, state, opt_state,
     step_key, g, seeds [D, S], key_data [D, 2], labels [D, S],
-    label_mask [D, S]) -> (params, state, opt_state, loss, n)``.
+    label_mask [D, S]) -> (params, state, opt_state, loss, n
+    [, overflow] [, ok])``.
 
+    With ``compaction`` set, the globally-psummed int32 overflow count
+    of the compacted exchange is appended (0 = the step was exact).
     ``guard=True`` appends ``make_dp_train_step``'s
     non-finite-rejection semantics (trailing ``ok`` output; rejected
     steps keep old params/state/opt bitwise on every replica).
     """
-    import dataclasses
     from functools import partial
 
     import optax
@@ -339,19 +611,21 @@ def make_graph_sharded_train_step(
 
     from connectome_gnn_tpu.parallel.shard_forward import apply_global_update
 
+    n_extra = (1 if compaction is not None else 0) + (1 if guard else 0)
+
     @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(), P(), P()) + ((P(),) if guard else ()),
+        out_specs=(P(), P(), P(), P(), P()) + (P(),) * n_extra,
     )
     def step(params, state, opt_state, step_key, g, seeds, key_data,
              labels, label_mask):
-        batch = sharded_device_sample(
+        batch, ovf = sharded_device_sample_with_stats(
             g, seeds[0], jax.random.wrap_key_data(key_data[0]),
-            fanout, axis_name=axis_name,
+            fanout, axis_name=axis_name, compaction=compaction,
         )
         batch = dataclasses.replace(
             batch, labels=labels[0], label_mask=label_mask[0]
@@ -375,8 +649,11 @@ def make_graph_sharded_train_step(
             optimizer, axis_name, params, opt_state, local_sum, local_n,
             grads,
         )
+        extras = ()
+        if compaction is not None:
+            extras += (jax.lax.psum(ovf, axis_name),)
         if not guard:
-            return new_params, new_state, new_opt_state, loss, n
+            return (new_params, new_state, new_opt_state, loss, n) + extras
 
         from connectome_gnn_tpu.train import fault
 
@@ -387,44 +664,65 @@ def make_graph_sharded_train_step(
             (params, state, opt_state),
             loss, n,
         )
-        return (*trees, loss, n, ok_f)
+        return (*trees, loss, n) + extras + (ok_f,)
 
-    return step
+    def step_checked(params, state, opt_state, step_key, g, seeds,
+                     key_data, labels, label_mask):
+        _validate_sharded_args(mesh, axis_name, g, seeds)
+        return step(params, state, opt_state, step_key, g, seeds,
+                    key_data, labels, label_mask)
+
+    return step_checked
 
 
 def sharded_sampling_comm_model(
-    *, D: int, S: int, fanout: Sequence[int], F: int, max_deg: int
+    *, D: int, S: int, fanout: Sequence[int], F: int, max_deg: int,
+    compaction: Optional[CompactionConfig] = None,
 ) -> dict:
-    """Analytic per-device per-step collective payload (bytes) of the
-    full-frontier-broadcast exchange, for the docs projection.
+    """Analytic per-device per-step collective payload of the exchange,
+    in bytes RECEIVED per device per step (= bytes sent: all_gather
+    broadcasts its shard, all_to_all is symmetric).  Validated against
+    the program-counted payload (`parallel/comm_accounting.py`) in
+    ``tests/test_sharded_sampling.py``.
 
     Frontier sizes under multiset sampling: ``Fb_0 = S``,
-    ``Fb_{h+1} = Fb_h · fanout[h]``.  Per hop: frontier all_gather
-    ``(D-1)·Fb·4``, answer all_to_all ``(D-1)·Fb·f·8`` out AND in; final
-    feature exchange ``(D-1)·NBud·4`` ids + ``(D-1)·NBud·F·4`` rows each
-    way, ``NBud = S·(1+Σ prod fanout)``-ish.  The compaction lever
-    (request only owned slots) divides the answer/feature payloads by
-    ``~D`` in expectation — recorded here as ``compacted_*``.
+    ``Fb_{h+1} = Fb_h · fanout[h]``; node budget
+    ``NBud = S + Σ_h Fb_{h+1}``.
+
+    Broadcast: per hop ``(D-1)·Fb·4`` frontier all_gather +
+    ``(D-1)·Fb·f·8`` packed answers; features ``(D-1)·NBud·4`` ids +
+    ``(D-1)·NBud·F·4`` rows.  Compacted (capacity ``C``, ``R`` rounds):
+    per hop ``R·(D-1)·C·8`` requests + ``R·(D-1)·C·f·8`` answers;
+    features ``R·(D-1)·C_f·8`` + ``R·(D-1)·C_f·F·4``.
     """
     fanout = tuple(int(f) for f in fanout)
     hop_bytes = 0
     Fb = S
     nbud = S
     for f in fanout:
-        hop_bytes += (D - 1) * Fb * 4  # frontier all_gather
-        hop_bytes += 2 * (D - 1) * Fb * f * 8  # answers out + in
-        Fb *= f
+        f_eff = min(f, max(max_deg, 1))
+        if compaction is None:
+            hop_bytes += (D - 1) * Fb * 4  # frontier all_gather
+            hop_bytes += (D - 1) * Fb * f_eff * 8  # packed answers
+        else:
+            C = compaction.capacity(Fb, D)
+            R = compaction.rounds
+            hop_bytes += R * (D - 1) * C * 8  # (id, slot) requests
+            hop_bytes += R * (D - 1) * C * f_eff * 8  # packed answers
+        Fb *= f_eff
         nbud += Fb
-    feat_bytes = (D - 1) * nbud * 4 + 2 * (D - 1) * nbud * F * 4
+    if compaction is None:
+        feat_bytes = (D - 1) * nbud * 4 + (D - 1) * nbud * F * 4
+    else:
+        C = compaction.capacity(nbud, D)
+        R = compaction.rounds
+        feat_bytes = R * (D - 1) * C * 8 + R * (D - 1) * C * F * 4
     total = hop_bytes + feat_bytes
     return {
         "per_device_bytes_per_step": int(total),
         "hop_exchange_bytes": int(hop_bytes),
         "feature_exchange_bytes": int(feat_bytes),
         "node_budget": int(nbud),
-        "compacted_per_device_bytes_per_step": int(
-            hop_bytes / max(D - 1, 1) + feat_bytes / max(D - 1, 1)
-        ),
     }
 
 
@@ -455,13 +753,13 @@ def shard_csr(
 
 
 def make_graph_sharded_eval_step(
-    inner, mesh, fanout: Sequence[int], axis_name: str = "data"
+    inner, mesh, fanout: Sequence[int], axis_name: str = "data",
+    *, compaction: Optional[CompactionConfig] = None,
 ):
     """Jitted graph-sharded eval step returning global ``(loss_sum,
     correct, n_real)`` — the :meth:`Trainer.evaluate` contract, psummed
     across shards.  Signature: ``(params, state, g, seeds [D, S],
     key_data [D, 2], labels [D, S], label_mask [D, S])``."""
-    import dataclasses
     from functools import partial
 
     import optax
@@ -478,7 +776,7 @@ def make_graph_sharded_eval_step(
     def ev(params, state, g, seeds, key_data, labels, label_mask):
         batch = sharded_device_sample(
             g, seeds[0], jax.random.wrap_key_data(key_data[0]),
-            fanout, axis_name=axis_name,
+            fanout, axis_name=axis_name, compaction=compaction,
         )
         batch = dataclasses.replace(
             batch, labels=labels[0], label_mask=label_mask[0]
@@ -498,7 +796,11 @@ def make_graph_sharded_eval_step(
             jax.lax.psum(jnp.sum(m), axis_name),
         )
 
-    return ev
+    def ev_checked(params, state, g, seeds, key_data, labels, label_mask):
+        _validate_sharded_args(mesh, axis_name, g, seeds)
+        return ev(params, state, g, seeds, key_data, labels, label_mask)
+
+    return ev_checked
 
 
 class GraphShardedSampledModel:
@@ -509,22 +811,30 @@ class GraphShardedSampledModel:
     device_sampling.DeviceSeedLoader`, same fit/evaluate surface — but
     no device ever holds the whole graph.
 
+    ``compaction`` (default a :class:`CompactionConfig`) selects the
+    compacted exchange; pass ``None`` to force the full-frontier
+    broadcast oracle.  The Trainer surfaces the exchange's overflow
+    counter as ``trainer.last_sampling_overflow``.
+
     SAGE-family inners only (the sharded sampler is the multiset mode;
     see module docstring).  Build via :func:`graph_sharded_sage`.
     """
 
-    def __init__(self, csr: ShardedGraphCSR, inner, fanout: Sequence[int]):
-        from connectome_gnn_tpu.models.node_coo import NodeGCN
-
-        if isinstance(inner, NodeGCN):
+    def __init__(
+        self, csr: ShardedGraphCSR, inner, fanout: Sequence[int],
+        *, compaction: Optional[CompactionConfig] = CompactionConfig(),
+    ):
+        if not getattr(inner, "multiset_safe", False):
             raise ValueError(
                 "graph-sharded sampling is multiset-mode: SAGE-family "
-                "inners only (GCN sender-degree normalization changes "
-                "meaning under duplicated sender slots)"
+                "inners only (sender-degree normalization — GCN-style — "
+                "changes meaning under duplicated sender slots; inners "
+                "must declare multiset_safe = True)"
             )
         self.csr = csr
         self.inner = inner
         self.fanout = tuple(int(f) for f in fanout)
+        self.compaction = compaction
 
     def init(self, key):
         return self.inner.init(key)
@@ -547,6 +857,7 @@ def graph_sharded_sage(
     num_classes: int = 2,
     num_layers: int = 2,
     fanout: Sequence[int] = (10, 10),
+    compaction: Optional[CompactionConfig] = CompactionConfig(),
 ) -> GraphShardedSampledModel:
     """Partition ``graph`` into ``num_shards`` node ranges and wrap a
     :class:`~connectome_gnn_tpu.models.node_coo.BlockedNodeSAGE` for
@@ -560,4 +871,4 @@ def graph_sharded_sage(
         num_classes=num_classes,
         num_layers=num_layers,
     )
-    return GraphShardedSampledModel(csr, inner, fanout)
+    return GraphShardedSampledModel(csr, inner, fanout, compaction=compaction)

@@ -118,6 +118,9 @@ class Trainer:
         self.scan_epochs = bool(scan_epochs)
         self._epoch_runner = None
         self.last_skipped_steps = 0
+        #: graph-sharded compacted-exchange overflow (dropped request
+        #: slots) summed over the last training epoch; 0 = exact
+        self.last_sampling_overflow = 0
         if self.scan_epochs and mesh is not None:
             raise ValueError(
                 "scan_epochs is a single-device mode (use the mesh-mode "
@@ -329,21 +332,27 @@ class Trainer:
                 cache[train] = make_graph_sharded_train_step(
                     m.inner, self.optimizer, self.mesh, m.fanout,
                     self.axis_name, guard=self.skip_nonfinite,
+                    compaction=m.compaction,
                 )
             else:
                 cache[train] = make_graph_sharded_eval_step(
-                    m.inner, self.mesh, m.fanout, self.axis_name
+                    m.inner, self.mesh, m.fanout, self.axis_name,
+                    compaction=m.compaction,
                 )
         return cache[train]
 
     def _placed_sharded_csr(self):
-        if "_gs_csr" not in self.__dict__:
+        # keyed by the csr's identity, like _replicated_csr — a swapped
+        # model/partition must not silently reuse the stale placement
+        cache = self.__dict__.setdefault("_gs_csr_cache", {})
+        key = id(self.model.csr.indptr)
+        if key not in cache:
             from connectome_gnn_tpu.parallel.sharded_sampling import shard_csr
 
-            self._gs_csr = shard_csr(
+            cache[key] = shard_csr(
                 self.model.csr, self.mesh, self.axis_name
             )
-        return self._gs_csr
+        return cache[key]
 
     # ------------------------------------------------------------------
     # Public API (mirrors reference train.py:41-127)
@@ -362,7 +371,7 @@ class Trainer:
         """
         if self.scan_epochs and self._scannable(loader):
             return self._train_epoch_scanned(loader)
-        losses, counts, oks = [], [], []
+        losses, counts, oks, ovfs = [], [], [], []
         num_steps = 0
         for batch in self._iterate(loader):
             batch = self._maybe_global(batch)
@@ -387,6 +396,12 @@ class Trainer:
                         batch.key_data, batch.labels,
                         batch.label_mask,
                     )
+                    if self.model.compaction is not None:
+                        # overflow rides between n and ok; stays on
+                        # device until the epoch-end sync
+                        out = list(out)
+                        ovfs.append(out.pop(5))
+                        out = tuple(out)
                 elif self._is_seed_batch(batch):
                     out = self._device_sampled_dp_step(
                         batch.labeled, train=True
@@ -418,6 +433,7 @@ class Trainer:
         total = float(sum(l * c for l, c in zip(losses, counts)))
         graphs = float(sum(counts))
         self.last_skipped_steps = num_steps - int(round(float(sum(oks))))
+        self.last_sampling_overflow = int(sum(ovfs)) if ovfs else 0
         return total / max(graphs, 1.0)
 
     def _scannable(self, loader) -> bool:

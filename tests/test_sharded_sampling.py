@@ -30,7 +30,9 @@ from connectome_gnn_tpu.data import (
 )
 from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE, NodeSAGE
 from connectome_gnn_tpu.parallel import (
+    CompactionConfig,
     ShardedGraphCSR,
+    count_collective_bytes,
     create_mesh,
     make_graph_sharded_sampled_forward,
     make_graph_sharded_train_step,
@@ -177,9 +179,241 @@ class TestKeepAllOracle:
             D=8, S=1024, fanout=(10, 10), F=64, max_deg=40
         )
         assert m["node_budget"] == 1024 * (1 + 10 + 100)
-        assert m["per_device_bytes_per_step"] > m[
-            "compacted_per_device_bytes_per_step"
+        mc = sharded_sampling_comm_model(
+            D=8, S=1024, fanout=(10, 10), F=64, max_deg=40,
+            compaction=CompactionConfig(alpha=2.0, rounds=2),
+        )
+        # compaction divides the payload by ~D/(alpha·rounds) = 2×
+        assert mc["per_device_bytes_per_step"] < 0.6 * m[
+            "per_device_bytes_per_step"
         ]
+        mc1 = sharded_sampling_comm_model(
+            D=8, S=1024, fanout=(10, 10), F=64, max_deg=40,
+            compaction=CompactionConfig(alpha=1.25, rounds=1),
+        )
+        # tighter operating point: ~D/1.25 = 6.4×
+        assert mc1["per_device_bytes_per_step"] < 0.2 * m[
+            "per_device_bytes_per_step"
+        ]
+
+
+def _sample_all(mesh, sg, seeds, keys, fanout, compaction):
+    """Run the sharded sampler under shard_map on ``mesh``; returns the
+    per-device batch leaves + overflow counts (host numpy)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from connectome_gnn_tpu.parallel.sharded_sampling import (
+        sharded_device_sample_with_stats,
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+    )
+    def run(gs, sd, key_data):
+        b, ovf = sharded_device_sample_with_stats(
+            gs, sd[0], jax.random.wrap_key_data(key_data[0]), fanout,
+            compaction=compaction,
+        )
+        tree = (b.node_features, b.senders, b.receivers, b.edge_weight,
+                b.node_mask, b.node_ids)
+        return (
+            jax.tree_util.tree_map(lambda a: a[None], tree),
+            ovf[None],
+        )
+
+    tree, ovf = run(sg, jnp.asarray(seeds), jnp.asarray(keys))
+    return tuple(np.asarray(x) for x in tree), np.asarray(ovf)
+
+
+class TestCompactedExchange:
+    """The compacted exchange (round 5): bitwise-exact vs the broadcast
+    oracle under capacity, deterministic masked drops + a correct
+    overflow counter beyond it, and counted (jaxpr-walked) payloads
+    matching the analytic model exactly."""
+
+    def _keys(self, n, base=100):
+        return np.stack([
+            np.asarray(jax.random.key_data(jax.random.PRNGKey(base + r)))
+            for r in range(n)
+        ])
+
+    def test_bitwise_equals_broadcast_under_capacity(self, cpu_devices):
+        g = _graph()
+        mesh = create_mesh(devices=cpu_devices[:4])
+        sg = ShardedGraphCSR.partition(g, 4)
+        seeds = np.array(
+            [[3, 17, 40], [70, 140, 90], [150, 200, -1], [33, 255, 8]],
+            np.int32,
+        )
+        keys = self._keys(4)
+        ref, ovf0 = _sample_all(mesh, sg, seeds, keys, (3, 3), None)
+        # alpha=D makes every bucket frontier-sized: no pair can overflow
+        got, ovf = _sample_all(
+            mesh, sg, seeds, keys, (3, 3),
+            CompactionConfig(alpha=4.0, rounds=1),
+        )
+        assert (ovf == 0).all() and (ovf0 == 0).all()
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+    def test_multi_round_carry_over_stays_exact(self, cpu_devices):
+        """rounds·C covers the load even when one round's C does not:
+        the masked carry-over rounds reassemble the exact answer."""
+        g = _graph()
+        mesh = create_mesh(devices=cpu_devices[:4])
+        sg = ShardedGraphCSR.partition(g, 4)
+        seeds = np.array(
+            [[3, 17, 40], [70, 140, 90], [150, 200, -1], [33, 255, 8]],
+            np.int32,
+        )
+        keys = self._keys(4)
+        ref, _ = _sample_all(mesh, sg, seeds, keys, (3, 3), None)
+        got, ovf = _sample_all(
+            mesh, sg, seeds, keys, (3, 3),
+            CompactionConfig(alpha=1.0, rounds=4),  # C small, R covers
+        )
+        assert (ovf == 0).all()
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+    def test_overflow_counts_and_masked_drops(self, cpu_devices):
+        """Adversarial frontier beyond rounds·C: overflowing requests
+        are DROPPED (zero draws / zero feature rows) at deterministic
+        slots (stable owner sort, ascending slot) and counted."""
+        g = _graph(n=64, degree=3, band=8, shortcut_frac=0.0)
+        D, S = 4, 4
+        mesh = create_mesh(devices=cpu_devices[:D])
+        sg = ShardedGraphCSR.partition(g, D)
+        P_ = sg.nodes_per_shard
+        # device 0's seeds ALL owned by shard 1; others sample locally
+        seeds = np.stack([
+            np.arange(P_, P_ + S, dtype=np.int32),
+            np.arange(P_ + 4, P_ + 4 + S, dtype=np.int32),
+            np.arange(2 * P_, 2 * P_ + S, dtype=np.int32),
+            np.arange(3 * P_, 3 * P_ + S, dtype=np.int32),
+        ])
+        keys = self._keys(D)
+        md = max(sg.max_in_degree, 1)
+        fanout = (md,)  # keep-all: drawn sets are deterministic
+        comp = CompactionConfig(alpha=1.0, rounds=1)  # C = S/D = 1
+        ref, _ = _sample_all(mesh, sg, seeds, keys, fanout, None)
+        got, ovf = _sample_all(mesh, sg, seeds, keys, fanout, comp)
+
+        def served(ids, me, C, R):
+            """Emulate the schedule: per remote owner, the R·C lowest
+            slots are served."""
+            n = len(ids)
+            out = np.zeros(n, bool)
+            owner = np.clip(np.maximum(ids, 0) // P_, 0, D - 1)
+            remote = (ids >= 0) & (owner != me)
+            for o in range(D):
+                slots = np.where(remote & (owner == o))[0]
+                out[slots[: R * C]] = True
+            return out, int(np.sum(remote) - np.sum(out))
+
+        ref_x, ref_snd, _, ref_w, _, ref_ids = ref
+        got_x, got_snd, _, got_w, _, got_ids = got
+        for r in range(D):
+            # hop-0 seed requests: device 0 overflows 3 of 4
+            C_hop = comp.capacity(S, D)
+            srv_hop, ovf_hop = served(seeds[r], r, C_hop, comp.rounds)
+            # dropped seeds draw nothing: their fanout rows are weight-0
+            # self-edges; served remote + local seeds match broadcast
+            w_rows = got_w[r].reshape(S, md)
+            ref_rows = ref_w[r].reshape(S, md)
+            owner = seeds[r] // P_
+            for s in range(S):
+                if owner[s] != r and not srv_hop[s]:
+                    assert (w_rows[s] == 0).all()
+                else:
+                    np.testing.assert_array_equal(w_rows[s], ref_rows[s])
+            # feature stage: compacted node ids, served per capacity
+            NBud = got_ids.shape[1]
+            C_f = comp.capacity(NBud, D)
+            srv_f, ovf_f = served(got_ids[r], r, C_f, comp.rounds)
+            owner_f = np.clip(np.maximum(got_ids[r], 0) // P_, 0, D - 1)
+            for i in range(NBud):
+                if got_ids[r, i] < 0:
+                    continue
+                if owner_f[i] != r and not srv_f[i]:
+                    assert (got_x[r, i] == 0).all()
+                else:
+                    np.testing.assert_array_equal(
+                        got_x[r, i],
+                        np.asarray(g.node_features)[got_ids[r, i]],
+                    )
+            assert int(ovf[r]) == ovf_hop + ovf_f
+
+    def test_counted_payload_matches_analytic_model(self, cpu_devices):
+        """count_collective_bytes (jaxpr walk of the ACTUAL program) ==
+        sharded_sampling_comm_model, for both exchanges — the analytic
+        projection is validated, not asserted."""
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        g = _graph()
+        D = 4
+        mesh = create_mesh(devices=cpu_devices[:D])
+        sg = ShardedGraphCSR.partition(g, D)
+        fanout = (3, 3)
+        S = 3
+        md = max(sg.max_in_degree, max(fanout), 1)
+        seeds = jnp.zeros((D, S), jnp.int32)
+        keys = jnp.zeros((D, 2), jnp.uint32)
+
+        for comp in (
+            None,
+            CompactionConfig(alpha=1.5, rounds=2),
+            CompactionConfig(alpha=1.0, rounds=1),
+        ):
+            @jax.jit
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=P("data"),
+            )
+            def run(gs, sd, key_data, _comp=comp):
+                from connectome_gnn_tpu.parallel.sharded_sampling import (
+                    sharded_device_sample,
+                )
+
+                b = jax.tree_util.tree_leaves(
+                    sharded_device_sample(
+                        gs, sd[0], jax.random.wrap_key_data(key_data[0]),
+                        fanout, compaction=_comp,
+                    )
+                )
+                return jnp.sum(b[0])[None]
+
+            counted = count_collective_bytes(run, sg, seeds, keys)
+            model = sharded_sampling_comm_model(
+                D=D, S=S, fanout=fanout, F=g.num_features,
+                max_deg=md, compaction=comp,
+            )
+            assert counted["total"] == model["per_device_bytes_per_step"], (
+                comp, counted, model,
+            )
+
+    def test_shard_count_mismatch_raises(self, cpu_devices):
+        g = _graph()
+        mesh = create_mesh(devices=cpu_devices[:4])
+        sg = ShardedGraphCSR.partition(g, 8)  # wrong: 8 shards, 4 devices
+        model = BlockedNodeSAGE(in_channels=5, hidden_dim=8, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        fwd = make_graph_sharded_sampled_forward(model, mesh, (3, 3))
+        seeds = jnp.zeros((8, 2), jnp.int32)
+        keys = jnp.zeros((8, 2), jnp.uint32)
+        with pytest.raises(ValueError, match="8 shards.*4 devices"):
+            fwd(params, state, sg, seeds, keys)
+        sg4 = ShardedGraphCSR.partition(g, 4)
+        with pytest.raises(ValueError, match=r"stacked \[D, S\]"):
+            fwd(params, state, sg4, seeds, keys)
 
 
 @pytest.mark.slow
