@@ -187,6 +187,120 @@ class ShardedGraphCSR:
             num_nodes=N,
         )
 
+    @classmethod
+    def partition_streamed(
+        cls,
+        edge_chunks,
+        node_features,
+        num_nodes: int,
+        num_shards: int,
+        *,
+        shard_range: Optional[tuple] = None,
+    ) -> "ShardedGraphCSR":
+        """Per-shard partition from a CHUNKED COO stream — the process
+        materializes only its own shard range, never the whole graph
+        (the ``INGEST_r02`` discipline applied to the sharded sampler:
+        at the scale this mode exists for, the graph does not fit one
+        host either).
+
+        Parameters
+        ----------
+        edge_chunks
+            Zero-arg callable returning a fresh iterator of
+            ``(src, dst, weight)`` numpy chunks (the stream is replayed
+            twice: pass 1 counts global in-degrees — an ``O(N)`` host
+            array, tiny next to the edges — pass 2 routes owned edges
+            into their slabs).  Chunk order must be stable between
+            replays: within a destination node, edges land in stream
+            order, exactly like :meth:`partition`'s stable receiver
+            sort — output is BITWISE equal to it.
+        node_features
+            Either the full ``[N, F]`` array or a callable
+            ``(lo, hi) -> [hi-lo, F]`` block reader (the streamed
+            story: only owned rows are ever produced).
+        shard_range
+            ``(lo, hi)`` shard slice to materialize (default: all).
+            The returned leaves carry ``hi-lo`` leading rows; lift to a
+            global array with :func:`~connectome_gnn_tpu.parallel.
+            distributed.assemble_global` in multi-process runs.  Static
+            fields (``nodes_per_shard``, ``max_in_degree``) stay GLOBAL
+            so every process compiles the same program.
+        """
+        D = int(num_shards)
+        N = int(num_nodes)
+        P = -(-N // D)
+        lo_s, hi_s = shard_range if shard_range is not None else (0, D)
+        if not (0 <= lo_s < hi_s <= D):
+            raise ValueError(f"bad shard_range {(lo_s, hi_s)} for D={D}")
+        nloc = hi_s - lo_s
+
+        # pass 1: global in-degree counts (O(N) host memory)
+        counts = np.zeros(D * P, np.int64)
+        for src, dst, w in edge_chunks():
+            counts += np.bincount(
+                np.asarray(dst, np.int64), minlength=D * P
+            )
+        max_deg = int(counts.max()) if counts.size else 0
+        e_max = int(counts.reshape(D, P).sum(axis=1).max()) if D else 0
+
+        indptr = np.zeros((nloc, P + 1), np.int32)
+        for i in range(nloc):
+            d = lo_s + i
+            indptr[i, 1:] = np.cumsum(counts[d * P : (d + 1) * P])
+        sw = np.zeros((nloc, max(e_max, 1), 2), np.int32)
+        cursor = np.zeros(nloc * P, np.int64)
+
+        # pass 2: route owned edges straight into their slab positions
+        node_lo, node_hi = lo_s * P, hi_s * P
+        for src, dst, w in edge_chunks():
+            src = np.asarray(src, np.int64)
+            dst = np.asarray(dst, np.int64)
+            w = np.asarray(w, np.float32)
+            sel = (dst >= node_lo) & (dst < node_hi)
+            if not sel.any():
+                continue
+            s, dloc, wv = src[sel], dst[sel] - node_lo, w[sel]
+            # stable within-chunk order per destination = the stable
+            # receiver sort's order
+            order = np.argsort(dloc, kind="stable")
+            s, dloc, wv = s[order], dloc[order], wv[order]
+            rank = np.arange(len(dloc)) - np.searchsorted(dloc, dloc)
+            shard = dloc // P
+            v = dloc - shard * P
+            slot = indptr[shard, v] + cursor[dloc] + rank
+            sw[shard, slot, 0] = s
+            sw[shard, slot, 1] = wv.view(np.int32)
+            np.add.at(cursor, dloc, 1)
+
+        F = None
+        feats = None
+        for i in range(nloc):
+            d = lo_s + i
+            a, b = d * P, min((d + 1) * P, N)
+            if b <= a:
+                continue
+            block = (
+                node_features(a, b)
+                if callable(node_features)
+                else node_features[a:b]
+            )
+            block = np.asarray(block, np.float32)
+            if feats is None:
+                F = block.shape[1]
+                feats = np.zeros((nloc, P, F), np.float32)
+            feats[i, : b - a] = block
+        if feats is None:
+            feats = np.zeros((nloc, P, 1), np.float32)
+
+        return cls(
+            indptr=jnp.asarray(indptr),
+            sender_weight=jnp.asarray(sw),
+            node_features=jnp.asarray(feats),
+            nodes_per_shard=P,
+            max_in_degree=max_deg,
+            num_nodes=N,
+        )
+
 
 def _exchange_select(local_answers, owner, axis_name):
     """Route owner-computed answers back to requesters and keep the

@@ -83,6 +83,61 @@ class TestPartition:
         deg = np.bincount(g.edge_index[1], minlength=g.num_nodes)
         assert sg.max_in_degree == int(deg.max())
 
+    @pytest.mark.parametrize("chunk", [37, 1000, 10**9])
+    def test_streamed_bitwise_equals_in_memory(self, chunk):
+        """partition_streamed from a chunked COO stream == partition
+        bitwise, at any chunk size (the stable-order contract)."""
+        g = _graph(seed=5)
+        want = ShardedGraphCSR.partition(g, 4)
+        src, dst = g.edge_index
+        w = g.edge_weight
+
+        def chunks():
+            for a in range(0, len(w), chunk):
+                yield src[a : a + chunk], dst[a : a + chunk], w[a : a + chunk]
+
+        got = ShardedGraphCSR.partition_streamed(
+            chunks, g.node_features, g.num_nodes, 4
+        )
+        assert got.nodes_per_shard == want.nodes_per_shard
+        assert got.max_in_degree == want.max_in_degree
+        for a, b in zip(
+            jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_streamed_shard_range_and_callable_features(self):
+        """A (lo, hi) range materializes exactly those shards' rows; a
+        callable feature reader is only asked for owned rows."""
+        g = _graph(seed=7)
+        full = ShardedGraphCSR.partition(g, 4)
+        src, dst = g.edge_index
+        w = g.edge_weight
+
+        def chunks():
+            yield src, dst, w
+
+        asked = []
+
+        def feat_reader(a, b):
+            asked.append((a, b))
+            return g.node_features[a:b]
+
+        part = ShardedGraphCSR.partition_streamed(
+            chunks, feat_reader, g.num_nodes, 4, shard_range=(1, 3)
+        )
+        assert part.indptr.shape[0] == 2
+        P = full.nodes_per_shard
+        for name in ("indptr", "sender_weight", "node_features"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, name))[1:3],
+                np.asarray(getattr(part, name)),
+            )
+        # static fields stay GLOBAL (same compiled program everywhere)
+        assert part.max_in_degree == full.max_in_degree
+        assert part.nodes_per_shard == P
+        assert all(a >= P and b <= 3 * P for a, b in asked)
+
 
 class TestKeepAllOracle:
     def test_matches_single_device_multiset(self, cpu_devices):
