@@ -1552,6 +1552,121 @@ def bench_device_sampled_epoch(num_nodes=262_144, degree=16, batch=1024,
     }
 
 
+def bench_device_sampled_epoch_mesh(num_nodes=262_144, degree=16,
+                                    batch=1024, fanout=(10, 10),
+                                    max_steps=256, family="sage",
+                                    dedup=False):
+    """Config SMEP: the whole-epoch scan COMPOSED with the DP mesh
+    (VERDICT r4 #4): ``make_device_sampled_dp_epoch_runner`` runs the
+    entire epoch as ONE shard_map program — one dispatch per epoch per
+    device, stacked packed-seed chunks, sync-BN/psummed-grad semantics
+    bitwise equal to the stepwise mesh loop
+    (tests/test_device_sampled_dp.py).  On this rig the mesh has ONE
+    real chip, so the number measures the composed path's overhead vs
+    config SME; on a pod, one dispatch per epoch is exactly what DCN
+    dispatch latency wants (MULTIPROC_r04: 0.115 s/step of gloo
+    dispatch overhead is what this amortizes)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from connectome_gnn_tpu.data import (device_sampled_gcn,
+                                         device_sampled_sage,
+                                         pack_epoch_sharded)
+    from connectome_gnn_tpu.parallel import (
+        create_mesh,
+        make_device_sampled_dp_epoch_runner,
+        replicate_csr,
+    )
+    from connectome_gnn_tpu.train import Trainer, reference_adam
+
+    g, labels = _sampled_graph(num_nodes, degree)
+    if family == "gcn":
+        model = device_sampled_gcn(g, hidden_dim=64, fanout=fanout)
+    else:
+        model = device_sampled_sage(
+            g, hidden_dim=64, fanout=fanout, dedup=dedup
+        )
+    mesh = create_mesh(axis_names=("data",))
+    D = int(mesh.shape["data"])
+    loader = model.make_loader(
+        np.arange(num_nodes), labels, batch_size=batch, seed=0,
+        num_shards=D, drop_last=True,
+    )
+    optimizer = reference_adam()
+    runner = make_device_sampled_dp_epoch_runner(model, optimizer, mesh)
+    params, state = model.init(jax.random.key(0))
+    opt_state = optimizer.init(params)
+    rng = jax.random.key(1)
+    csr_r = replicate_csr(model.csr, mesh)
+    sh = NamedSharding(mesh, P(None, "data"))
+
+    packed = jax.device_put(
+        pack_epoch_sharded(loader)[:max_steps], sh
+    )
+    steps = int(packed.shape[0])
+    quarter = jax.device_put(np.asarray(packed)[: steps // 4], sh)
+
+    def run_epoch(buf):
+        t0 = time.perf_counter()
+        _, _, _, _, losses, _ = runner(
+            params, state, opt_state, rng, buf, csr_r
+        )
+        _fetch(losses)
+        return time.perf_counter() - t0
+
+    run_epoch(packed)   # compile + warm (full length)
+    run_epoch(quarter)  # compile + warm (quarter length)
+    t_full = min(run_epoch(packed) for _ in range(2))
+    t_quarter = min(run_epoch(quarter) for _ in range(2))
+    dt = (t_full - t_quarter) / (steps - steps // 4)
+
+    # honest end-to-end through the PRODUCT path:
+    # Trainer(mesh=..., scan_epochs=True).train_epoch
+    trainer = Trainer(model, mesh=mesh, scan_epochs=True)
+    t_loader = model.make_loader(
+        np.arange(steps * batch), labels, batch_size=batch, seed=0,
+        num_shards=D, drop_last=True,
+    )
+    trainer.train_epoch(t_loader)  # compile + warm
+    t0 = time.perf_counter()
+    trainer.train_epoch(t_loader)
+    trainer_s = time.perf_counter() - t0
+
+    # measured sampled-edge count (same jitted counter as config SD)
+    from connectome_gnn_tpu.data import device_sample
+    from connectome_gnn_tpu.data.device_sampling import SeedBatch
+
+    @jax.jit
+    def _count(csr, seeds, key_data):
+        s = device_sample(
+            csr, seeds, jax.random.wrap_key_data(key_data), fanout,
+            dedup=dedup,
+        )
+        return (s.edge_weight > 0).sum()
+
+    edges = 0.0
+    sb = next(iter(model.make_loader(
+        np.arange(num_nodes), labels, batch_size=batch, seed=9,
+        num_shards=D, drop_last=True,
+    )))
+    for row in np.asarray(sb.packed):
+        rb = SeedBatch(packed=jnp.asarray(row), num_seeds=sb.num_seeds)
+        edges += _fetch(_count(model.csr, rb.seeds, rb.key_data))
+
+    return {
+        "ms_per_step": dt * 1e3,
+        "steps_per_s": 1.0 / dt,
+        "seed_nodes_per_s": batch / dt,
+        "sampled_edges_per_s": edges / dt,
+        "avg_sampled_edges": edges,
+        "epoch_steps": steps,
+        "trainer_epoch_ms": trainer_s * 1e3,
+        "trainer_ms_per_step": trainer_s * 1e3 / steps,
+        "mesh_devices": D,
+        "num_nodes": num_nodes,
+    }
+
+
 def bench_sampled_train_giant(steps=30):
     """Config S2: end-to-end sampled training ON the full north-star
     graph — 1M nodes / ~44M edges (spatial + 10% shortcuts), 1024 seeds
@@ -1662,6 +1777,15 @@ BENCHES = {
              lambda: bench_device_sampled_epoch(
                  num_nodes=1 << 20, degree=38, family="sage",
                  dedup=False)),
+    "SMEP": ("whole-epoch MULTISET sampled training THROUGH THE DP MESH "
+             "(one shard_map dispatch per epoch; bitwise = the stepwise "
+             "mesh loop), 262k-node graph, 1024 seeds/step, fanout 10x10",
+             bench_device_sampled_epoch_mesh),
+    "SMEP2": ("whole-epoch MULTISET mesh-scanned training on the FULL "
+              "north-star graph, 1M nodes / 44M edges, 1024 seeds/step, "
+              "fanout 10x10",
+              lambda: bench_device_sampled_epoch_mesh(
+                  num_nodes=1 << 20, degree=38)),
     "S2": ("sampled-minibatch training END-TO-END on the FULL north-star "
            "graph, 1M nodes / 44M edges, 1024 seeds/step, fanout 10x10",
            bench_sampled_train_giant),
@@ -1678,7 +1802,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs",
-        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SDMP,SE,SE2,SME,SME2",
+        default="1,2,3,4,5,5b,5c,5d,5q,5qm,5q8,5qs,5qs8,T,5t,5tq,5tqb,S,S2,SD,SDS,SDM,SD2,SDP,SDP2,SDMP,SE,SE2,SME,SME2,SMEP,SMEP2",
     )
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()

@@ -14,6 +14,7 @@ from connectome_gnn_tpu.data.device_sampling import (
     make_epoch_runner,
     make_seed_batch,
     pack_epoch,
+    pack_epoch_sharded,
 )
 from connectome_gnn_tpu.data.graph import ConnectomeGraph
 from connectome_gnn_tpu.data.io import graph_from_adjacency, load_dataset, save_dataset
@@ -64,6 +65,7 @@ __all__ = [
     "make_epoch_runner",
     "make_seed_batch",
     "pack_epoch",
+    "pack_epoch_sharded",
     "LayoutPlan",
     "PrefetchIterator",
     "PrefetchLoader",

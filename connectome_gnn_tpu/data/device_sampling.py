@@ -816,6 +816,44 @@ def pack_epoch(loader: DeviceSeedLoader) -> jnp.ndarray:
     return jnp.asarray(np.stack(rows))
 
 
+def pack_epoch_sharded(loader: DeviceSeedLoader) -> np.ndarray:
+    """One epoch of a SHARDED :class:`DeviceSeedLoader` as a single
+    ``[steps, D_local, 3+2S]`` int32 buffer — the rows the loader's
+    sharded iterator would yield step by step, stacked (advances the
+    loader's epoch).  Feed to :func:`~connectome_gnn_tpu.parallel.
+    sampled_dp.make_device_sampled_dp_epoch_runner` (lifted to the
+    global ``[steps, D, 3+2S]`` sharded array in multi-process runs)."""
+    from connectome_gnn_tpu.data.sampled import _sample_seed
+
+    if loader.num_shards is None:
+        raise ValueError(
+            "pack_epoch_sharded needs a sharded DeviceSeedLoader "
+            "(num_shards=D); use pack_epoch for the single-device path"
+        )
+    seeds = loader.seeds
+    epoch = loader._epoch
+    loader._epoch += 1
+    if loader.shuffle:
+        rng = np.random.default_rng(loader.seed + epoch)
+        seeds = seeds[rng.permutation(len(seeds))]
+    ss = loader._shard_size
+    rows = []
+    for b, start in enumerate(range(0, len(seeds), loader.batch_size)):
+        chunk = seeds[start : start + loader.batch_size]
+        if loader.drop_last and len(chunk) < loader.batch_size:
+            break
+        rows.append(np.stack([
+            _pack_seed_row(
+                chunk[s * ss : (s + 1) * ss],
+                loader.node_labels,
+                _sample_seed(loader.seed, epoch, b, s),
+                ss,
+            )
+            for s in range(loader._shard_lo, loader._shard_hi)
+        ]))
+    return np.stack(rows)
+
+
 def device_sampled_gcn(
     graph: ConnectomeGraph,
     *,

@@ -43,6 +43,7 @@ from connectome_gnn_tpu.parallel.edge_partition import (
 )
 from connectome_gnn_tpu.parallel.mesh import create_mesh
 from connectome_gnn_tpu.parallel.sampled_dp import (
+    make_device_sampled_dp_epoch_runner,
     make_device_sampled_dp_eval_step,
     make_device_sampled_dp_step,
     replicate_csr,
@@ -83,6 +84,7 @@ __all__ = [
     "partition_hybrid_cohort",
     "PartitionedGraph",
     "create_mesh",
+    "make_device_sampled_dp_epoch_runner",
     "make_device_sampled_dp_eval_step",
     "make_device_sampled_dp_step",
     "make_dp_eval_step",

@@ -141,6 +141,81 @@ def make_device_sampled_dp_step(
     return jax.jit(_sharded_step)
 
 
+def make_device_sampled_dp_epoch_runner(
+    model,
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = "data",
+    *,
+    labeled: bool = True,
+):
+    """Whole-epoch-on-device training OVER THE MESH: ``lax.scan`` of the
+    data-parallel device-sampled step inside ONE ``shard_map`` program —
+    one dispatch per epoch per device (round-5 composition of
+    :func:`~connectome_gnn_tpu.data.device_sampling.make_epoch_runner`
+    with :func:`make_device_sampled_dp_step`; on a real pod this is
+    exactly what DCN dispatch latency wants).
+
+    Step semantics replicate the stepwise DP loop bitwise: the same
+    per-step ``rng`` split schedule (the split moves inside the scan),
+    the same ``fold_in(step_key, axis_index)`` dropout decorrelation,
+    sync-BN psums, globally-masked loss, psummed grads.  The non-finite
+    step guard does NOT run inside the scanned epoch (as in the
+    single-device runner).
+
+    Returns ``run(params, state, opt_state, rng, packed_all, csr) ->
+    (params, state, opt_state, rng, losses, ns)`` with ``packed_all``
+    a ``[steps, D, 3+2S]`` int32 buffer sharded ``P(None, axis_name)``;
+    build it with :func:`~connectome_gnn_tpu.data.device_sampling.
+    pack_epoch_sharded`.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, axis_name), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+    )
+    def _run(params, state, opt_state, rng, packed_all, csr):
+        def body(carry, row):
+            p, s, o, r = carry
+            r, step_key = jax.random.split(r)
+            row0 = row[0]  # this device's shard of the step
+            S = (int(row0.shape[0]) - 3) // 2
+            batch = SeedBatch(
+                packed=row0, csr=csr, num_seeds=S, labeled=labeled
+            )
+            key = jax.random.fold_in(
+                step_key, jax.lax.axis_index(axis_name)
+            )
+
+            def loss_sum_fn(pp):
+                logits, new_state = model.apply(
+                    pp, s, batch, train=True, rng=key,
+                    axis_name=axis_name,
+                )
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch.labels
+                )
+                mask = batch.label_mask.astype(jnp.float32)
+                return jnp.sum(ce * mask), (new_state, jnp.sum(mask))
+
+            (local_sum, (new_state, local_n)), grads = jax.value_and_grad(
+                loss_sum_fn, has_aux=True
+            )(p)
+            new_params, new_opt_state, loss, n = apply_global_update(
+                optimizer, axis_name, p, o, local_sum, local_n, grads
+            )
+            return (new_params, new_state, new_opt_state, r), (loss, n)
+
+        (params, state, opt_state, rng), (losses, ns) = jax.lax.scan(
+            body, (params, state, opt_state, rng), packed_all
+        )
+        return params, state, opt_state, rng, losses, ns
+
+    return jax.jit(_run)
+
+
 def make_device_sampled_dp_eval_step(
     model, mesh: Mesh, axis_name: str = "data", *, labeled: bool = True
 ):

@@ -121,11 +121,6 @@ class Trainer:
         #: graph-sharded compacted-exchange overflow (dropped request
         #: slots) summed over the last training epoch; 0 = exact
         self.last_sampling_overflow = 0
-        if self.scan_epochs and mesh is not None:
-            raise ValueError(
-                "scan_epochs is a single-device mode (use the mesh-mode "
-                "stacked SeedBatch path for data parallelism)"
-            )
 
         key = jax.random.PRNGKey(seed)
         init_key, self._rng = jax.random.split(key)
@@ -296,13 +291,7 @@ class Trainer:
                 "stacked SeedBatch training needs a DeviceGraphCSR "
                 "(build the loader via model.make_loader or pass csr=)"
             )
-        cache = self.__dict__.setdefault("_csr_cache", {})
-        key = id(csr.indptr)
-        if key not in cache:
-            from connectome_gnn_tpu.parallel.sampled_dp import replicate_csr
-
-            cache[key] = replicate_csr(csr, self.mesh)
-        return cache[key]
+        return self._replicated_csr_value(csr)
 
     # ------------------------------------------------------------------
     # Graph-sharded sampled dispatch (no device holds the whole graph)
@@ -441,23 +430,38 @@ class Trainer:
 
         if not isinstance(loader, DeviceSeedLoader):
             return False
-        if loader.num_shards is not None:
+        if self.mesh is None:
+            if loader.num_shards is not None:
+                raise ValueError(
+                    "scan_epochs without a mesh needs an unsharded "
+                    "DeviceSeedLoader"
+                )
+            return True
+        if self._is_graph_sharded():
             raise ValueError(
-                "scan_epochs needs an unsharded DeviceSeedLoader (the "
-                "scanned epoch is single-device)"
+                "scan_epochs is not supported for graph-sharded models "
+                "(the scanned epoch composes with the replicated "
+                "device-sampled DP path)"
+            )
+        D = int(self.mesh.shape[self.axis_name])
+        if loader.num_shards != D:
+            raise ValueError(
+                "scan_epochs over a mesh needs a sharded "
+                f"DeviceSeedLoader (num_shards={D})"
             )
         return True
 
     def _train_epoch_scanned(self, loader) -> float:
-        """One-dispatch epoch via ``make_epoch_runner`` (see
-        :class:`~connectome_gnn_tpu.data.device_sampling`)."""
+        """One-dispatch epoch via ``make_epoch_runner`` (single-device)
+        or ``make_device_sampled_dp_epoch_runner`` (mesh mode: the
+        whole scanned epoch runs as ONE shard_map program — one
+        dispatch per epoch per device)."""
         from connectome_gnn_tpu.data.device_sampling import (
             make_epoch_runner,
             pack_epoch,
+            pack_epoch_sharded,
         )
 
-        if self._epoch_runner is None:
-            self._epoch_runner = make_epoch_runner(self.model, self.optimizer)
         csr = loader.csr
         if csr is None:
             csr = getattr(self.model, "csr", None)
@@ -466,7 +470,33 @@ class Trainer:
                 "scan_epochs needs a DeviceGraphCSR (build the loader via "
                 "model.make_loader or pass csr=)"
             )
-        packed = pack_epoch(loader)  # advances the loader's epoch
+        labeled = loader.node_labels is not None
+        if self.mesh is None:
+            if self._epoch_runner is None:
+                self._epoch_runner = make_epoch_runner(
+                    self.model, self.optimizer
+                )
+            packed = pack_epoch(loader)  # advances the loader's epoch
+            out = self._epoch_runner(
+                self.params, self.state, self.opt_state, self._rng,
+                packed, csr, labeled=labeled,
+            )
+        else:
+            from connectome_gnn_tpu.parallel.sampled_dp import (
+                make_device_sampled_dp_epoch_runner,
+            )
+
+            cache = self.__dict__.setdefault("_mesh_epoch_runners", {})
+            if labeled not in cache:
+                cache[labeled] = make_device_sampled_dp_epoch_runner(
+                    self.model, self.optimizer, self.mesh,
+                    self.axis_name, labeled=labeled,
+                )
+            packed = self._lift_epoch(pack_epoch_sharded(loader))
+            out = cache[labeled](
+                self.params, self.state, self.opt_state, self._rng,
+                packed, self._replicated_csr_value(csr),
+            )
         (
             self.params,
             self.state,
@@ -474,14 +504,40 @@ class Trainer:
             self._rng,
             losses,
             ns,
-        ) = self._epoch_runner(
-            self.params, self.state, self.opt_state, self._rng, packed, csr,
-            labeled=loader.node_labels is not None,
-        )
+        ) = out
         self.last_skipped_steps = 0  # no in-scan fault guard
         total = float(jnp.sum(losses * ns))
         n = float(jnp.sum(ns))
         return total / max(n, 1.0)
+
+    def _lift_epoch(self, packed_local):
+        """Place a ``[steps, D_local, row]`` packed epoch buffer as the
+        global ``[steps, D, row]`` array sharded ``P(None, axis)``."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(None, self.axis_name))
+        if jax.process_count() == 1:
+            return jax.device_put(packed_local, sh)
+        import numpy as np
+
+        packed_local = np.asarray(packed_local)
+        D = int(self.mesh.shape[self.axis_name])
+        global_shape = (
+            packed_local.shape[0], D, packed_local.shape[2]
+        )
+        return jax.make_array_from_process_local_data(
+            sh, packed_local, global_shape
+        )
+
+    def _replicated_csr_value(self, csr):
+        """As :meth:`_replicated_csr`, keyed on a csr value directly."""
+        cache = self.__dict__.setdefault("_csr_cache", {})
+        key = id(csr.indptr)
+        if key not in cache:
+            from connectome_gnn_tpu.parallel.sampled_dp import replicate_csr
+
+            cache[key] = replicate_csr(csr, self.mesh)
+        return cache[key]
 
     def evaluate(self, loader: ConnectomeDataLoader) -> dict:
         """Masked accuracy / mean loss over ``loader`` (no grad, eval mode).

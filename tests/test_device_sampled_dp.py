@@ -246,6 +246,56 @@ class TestTrainerMeshMode:
         assert hist["train_loss"][-1] < hist["train_loss"][0]
         assert hist["val_acc"][-1] > 0.6
 
+    def test_scanned_epoch_over_mesh_matches_stepwise(self, cpu_devices):
+        """Trainer(scan_epochs=True, mesh=...) — the round-5 composition
+        of the epoch scan with the shard_map DP step — must replicate
+        the stepwise mesh loop bitwise on params (BN state to float
+        precision), for TWO epochs (rng schedule advances identically)."""
+        g, labels = _task(n=512)
+        mesh = create_mesh(devices=cpu_devices[:4])
+
+        def make():
+            model = device_sampled_gcn(g, hidden_dim=16, fanout=(4, 4))
+            loader = model.make_loader(
+                np.arange(512), labels, batch_size=64, seed=0,
+                num_shards=4, drop_last=True,
+            )
+            return model, loader
+
+        m1, l1 = make()
+        t_step = Trainer(m1, seed=0, mesh=mesh, prefetch_depth=0)
+        m2, l2 = make()
+        t_scan = Trainer(m2, seed=0, mesh=mesh, scan_epochs=True)
+
+        for epoch in range(2):
+            l1.set_epoch(epoch)
+            l2.set_epoch(epoch)
+            loss_step = t_step.train_epoch(l1)
+            loss_scan = t_scan.train_epoch(l2)
+            np.testing.assert_allclose(loss_scan, loss_step, rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t_step.params),
+            jax.tree_util.tree_leaves(t_scan.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t_step.state),
+            jax.tree_util.tree_leaves(t_scan.state),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
+    def test_scanned_epoch_mesh_needs_sharded_loader(self, cpu_devices):
+        g, labels = _task(n=128)
+        model = device_sampled_gcn(g, hidden_dim=8, fanout=(2, 2))
+        mesh = create_mesh(devices=cpu_devices[:2])
+        lo = model.make_loader(np.arange(128), labels, batch_size=32)
+        trainer = Trainer(model, seed=0, mesh=mesh, scan_epochs=True,
+                          prefetch_depth=0)
+        with pytest.raises(ValueError, match="num_shards=2"):
+            trainer.train_epoch(lo)
+
     def test_unstacked_seed_batch_in_mesh_mode_raises(self, cpu_devices):
         g, labels = _task(n=128)
         model = device_sampled_gcn(g, hidden_dim=8, fanout=(2, 2))
