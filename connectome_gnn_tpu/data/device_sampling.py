@@ -83,10 +83,11 @@ class DeviceGraphCSR:
     """
 
     indptr: jnp.ndarray  # int32 [N+1]
-    node_features: jnp.ndarray  # float32 [N, F]
+    node_features: jnp.ndarray  # f32 / bf16 / int8 [N, F] (see below)
     senders: Optional[jnp.ndarray] = None  # int32 [E], grouped by recv
     edge_weight: Optional[jnp.ndarray] = None  # float32 [E]
     sender_weight: Optional[jnp.ndarray] = None  # int32 [E, 2] packed
+    feature_scale: Optional[jnp.ndarray] = None  # f32 [F], int8 mode
     max_in_degree: int = static_field(default=0)
 
     @property
@@ -99,11 +100,36 @@ class DeviceGraphCSR:
             return int(self.senders.shape[0])
         return int(self.sender_weight.shape[0])
 
+    def gather_features(self, idx: jnp.ndarray) -> jnp.ndarray:
+        """Feature-table gather, always returning float32 rows.
+
+        With a reduced-precision table (``from_graph(feature_dtype=
+        "bfloat16"/"int8")``) the gather moves 2×/4× fewer HBM bytes
+        and residency halves/quarters; the cast (and int8 per-column
+        dequant ``q · scale``) fuses into the consumer.  Do NOT expect
+        a gather-latency win: random row access is bounded by the
+        512-B DMA tile granularity, not row bytes (GATHER_DMA_r04) —
+        the dtype option buys RESIDENCY (a ~10× bigger graph still
+        replicates per chip), verified in benchmarks/table_dtype.py.
+        """
+        x = self.node_features[idx]
+        if self.feature_scale is not None:
+            return x.astype(jnp.float32) * self.feature_scale
+        return x.astype(jnp.float32)
+
     @classmethod
     def from_graph(
-        cls, graph: ConnectomeGraph, *, packed: bool = True
+        cls, graph: ConnectomeGraph, *, packed: bool = True,
+        feature_dtype: str = "float32",
     ) -> "DeviceGraphCSR":
-        """One-time host prep (receiver sort) + upload."""
+        """One-time host prep (receiver sort) + upload.
+
+        ``feature_dtype``: ``"float32"`` (default), ``"bfloat16"``
+        (table stored bf16, read back as f32 — one rounding), or
+        ``"int8"`` (symmetric per-COLUMN quantization ``q = round(x /
+        s)``, ``s = absmax/127`` per feature column; dequant error
+        ≤ s/2 per element, tested).
+        """
         src, dst = graph.edge_index
         order = np.argsort(dst, kind="stable")
         dst_sorted = dst[order]
@@ -119,11 +145,27 @@ class DeviceGraphCSR:
             if packed
             else dict(senders=jnp.asarray(snd), edge_weight=jnp.asarray(w))
         )
+        x = graph.node_features.astype(np.float32)
+        scale = None
+        if feature_dtype == "float32":
+            feats = jnp.asarray(x)
+        elif feature_dtype == "bfloat16":
+            feats = jnp.asarray(x).astype(jnp.bfloat16)
+        elif feature_dtype == "int8":
+            s = np.abs(x).max(axis=0) / 127.0
+            s = np.where(s > 0, s, 1.0).astype(np.float32)
+            q = np.clip(np.round(x / s), -127, 127).astype(np.int8)
+            feats = jnp.asarray(q)
+            scale = jnp.asarray(s)
+        else:
+            raise ValueError(
+                f"feature_dtype must be float32/bfloat16/int8, got "
+                f"{feature_dtype!r}"
+            )
         return cls(
             indptr=jnp.asarray(indptr),
-            node_features=jnp.asarray(
-                graph.node_features.astype(np.float32)
-            ),
+            node_features=feats,
+            feature_scale=scale,
             max_in_degree=int(counts.max()) if counts.size else 0,
             **adjacency,
         )
@@ -370,8 +412,8 @@ def device_sample(
     node_mask = all_nodes >= 0
     x = jnp.where(
         node_mask[:, None],
-        csr.node_features[jnp.clip(all_nodes, 0, N - 1)],
-        jnp.zeros((), csr.node_features.dtype),
+        csr.gather_features(jnp.clip(all_nodes, 0, N - 1)),
+        0.0,
     )
     zeros_s = jnp.zeros(S, i32)
     return SampledNodeBatch(
@@ -476,8 +518,8 @@ def _device_sample_multiset(
     node_mask = all_nodes >= 0
     x = jnp.where(
         node_mask[:, None],
-        csr.node_features[jnp.clip(all_nodes, 0, N - 1)],
-        jnp.zeros((), csr.node_features.dtype),
+        csr.gather_features(jnp.clip(all_nodes, 0, N - 1)),
+        0.0,
     )
     zeros_s = jnp.zeros(S, i32)
     return SampledNodeBatch(
@@ -861,12 +903,13 @@ def device_sampled_gcn(
     num_classes: int = 2,
     fanout: Sequence[int] = (10, 10),
     dropout: float = 0.0,
+    feature_dtype: str = "float32",
 ) -> DeviceSampledModel:
     """Convenience: upload ``graph`` and wrap a matching ``NodeGCN``
     (``num_layers = len(fanout)``)."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeGCN
 
-    csr = DeviceGraphCSR.from_graph(graph)
+    csr = DeviceGraphCSR.from_graph(graph, feature_dtype=feature_dtype)
     inner = BlockedNodeGCN(
         in_channels=int(graph.node_features.shape[1]),
         hidden_dim=hidden_dim,
@@ -885,6 +928,7 @@ def device_sampled_sage(
     fanout: Sequence[int] = (10, 10),
     dropout: float = 0.0,
     dedup: bool = True,
+    feature_dtype: str = "float32",
 ) -> DeviceSampledModel:
     """Convenience: upload ``graph`` and wrap a matching ``NodeSAGE``
     through the blocked aggregation path (``num_layers = len(fanout)``).
@@ -897,7 +941,7 @@ def device_sampled_sage(
     it."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
 
-    csr = DeviceGraphCSR.from_graph(graph)
+    csr = DeviceGraphCSR.from_graph(graph, feature_dtype=feature_dtype)
     inner = BlockedNodeSAGE(
         in_channels=int(graph.node_features.shape[1]),
         hidden_dim=hidden_dim,

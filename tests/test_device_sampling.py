@@ -188,6 +188,97 @@ class TestSeedBatch:
 
 
 @pytest.mark.slow
+class TestFeatureTableDtypes:
+    """Reduced-precision device-resident feature tables (round 5): bf16
+    halves and int8+scale quarters the residency that bounds how big a
+    graph still REPLICATES per chip; values are exact up to the table
+    rounding and training converges through them."""
+
+    def _sample_x(self, csr, g, seeds, fanout):
+        b = device_sample(
+            csr, jnp.asarray(seeds, jnp.int32), jax.random.PRNGKey(3),
+            fanout,
+        )
+        ids = np.asarray(b.node_ids)
+        m = ids >= 0
+        return np.asarray(b.node_features)[m], ids[m]
+
+    def test_bf16_rows_are_exact_bf16_roundings(self):
+        g = _graph()
+        csr = DeviceGraphCSR.from_graph(g, feature_dtype="bfloat16")
+        assert csr.node_features.dtype == jnp.bfloat16
+        x, ids = self._sample_x(csr, g, np.arange(16), (4, 4))
+        want = np.asarray(
+            jnp.asarray(g.node_features[ids]).astype(jnp.bfloat16)
+            .astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(x, want)
+        assert x.dtype == np.float32  # the batch stays f32 downstream
+
+    def test_int8_dequant_error_bounded_by_half_scale(self):
+        g = _graph(seed=4)
+        csr = DeviceGraphCSR.from_graph(g, feature_dtype="int8")
+        assert csr.node_features.dtype == jnp.int8
+        scale = np.asarray(csr.feature_scale)
+        x, ids = self._sample_x(csr, g, np.arange(16), (4, 4))
+        err = np.abs(x - g.node_features[ids])
+        assert (err <= scale[None, :] / 2 + 1e-6).all()
+
+    def test_keep_all_logits_close_to_f32(self):
+        g = _graph(n=200)
+        f32 = DeviceGraphCSR.from_graph(g)
+        md = f32.max_in_degree
+        model = NodeGCN(in_channels=5, hidden_dim=16, num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        seeds = jnp.asarray(np.arange(8), jnp.int32)
+
+        def logits(csr):
+            b = device_sample(csr, seeds, jax.random.PRNGKey(5), (md, md))
+            import dataclasses
+
+            b = dataclasses.replace(
+                b,
+                labels=jnp.zeros(8, jnp.int32),
+                label_mask=jnp.ones(8, bool),
+                seed_mask=jnp.ones(8, bool),
+            )
+            out, _ = model.apply(params, state, b, train=False)
+            return np.asarray(out)
+
+        ref = logits(f32)
+        for dt, tol in (("bfloat16", 2e-2), ("int8", 2e-2)):
+            got = logits(DeviceGraphCSR.from_graph(g, feature_dtype=dt))
+            np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+
+    def test_bad_dtype_raises(self):
+        with pytest.raises(ValueError, match="feature_dtype"):
+            DeviceGraphCSR.from_graph(_graph(), feature_dtype="fp8")
+
+    @pytest.mark.slow
+    def test_bf16_table_converges(self):
+        g = generate_spatial_graph(1024, degree=8, band=32, seed=0)
+        src, dst = g.edge_index
+        num = np.zeros(g.num_nodes)
+        den = np.zeros(g.num_nodes)
+        np.add.at(num, dst, g.edge_weight * g.node_features[src, 0])
+        np.add.at(den, dst, g.edge_weight)
+        agg = num / (den + 1e-8)
+        labels = (agg > np.median(agg)).astype(np.int32)
+        model = device_sampled_gcn(
+            g, hidden_dim=32, fanout=(8, 8), feature_dtype="bfloat16"
+        )
+        tr = model.make_loader(
+            np.arange(1024), labels, batch_size=128, seed=0, drop_last=True
+        )
+        va = model.make_loader(
+            np.arange(1024), labels, batch_size=128, seed=1, shuffle=False
+        )
+        trainer = Trainer(model, seed=0)
+        hist = trainer.fit(tr, va, num_epochs=4, patience=10, verbose=False)
+        assert hist["train_loss"][-1] < hist["train_loss"][0]
+        assert hist["val_acc"][-1] > 0.6
+
+
 class TestTraining:
     def test_fit_learns_one_hop_task(self):
         g = generate_spatial_graph(1024, degree=8, band=32, seed=0)
