@@ -50,6 +50,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=1 << 20)
     ap.add_argument("--degree", type=int, default=38)
+    ap.add_argument("--feat", type=int, default=64)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--out", default="TABLE_DTYPE_r05.json")
@@ -66,17 +67,19 @@ def main() -> int:
     print(f"backend: {jax.devices()[0].platform}", file=sys.stderr)
     g = generate_spatial_graph(
         args.nodes, degree=args.degree, band=512, seed=11,
-        shortcut_frac=0.1,
+        shortcut_frac=0.1, num_features=args.feat,
     )
     labels = (g.degree() > np.median(g.degree())).astype(np.int32)
 
     # value error on a SMALL keep-all probe (identical subgraphs)
-    gs = generate_spatial_graph(512, degree=6, band=24, seed=3)
+    gs = generate_spatial_graph(512, degree=6, band=24, seed=3,
+                                num_features=args.feat)
     f32s = DeviceGraphCSR.from_graph(gs)
     md = f32s.max_in_degree
     from connectome_gnn_tpu.models import NodeGCN
 
-    probe_model = NodeGCN(in_channels=5, hidden_dim=32, num_layers=2)
+    probe_model = NodeGCN(in_channels=args.feat, hidden_dim=32,
+                          num_layers=2)
     pp, ps = probe_model.init(jax.random.PRNGKey(0))
 
     def probe_logits(csr):
@@ -151,7 +154,7 @@ def main() -> int:
         "what": "device-resident feature-table dtype: residency, "
                 "train-step time, value error (1M/44M, SD shape)",
         "nodes": args.nodes, "degree": args.degree,
-        "batch": args.batch, "fanout": [10, 10],
+        "batch": args.batch, "fanout": [10, 10], "features": args.feat,
         "backend": jax.devices()[0].platform,
         **rows,
         "notes": [

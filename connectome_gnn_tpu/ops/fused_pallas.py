@@ -171,7 +171,7 @@ def _choose_graphs_per_block(B: int, n: int, F: int, H: int) -> int:
     return g
 
 
-@partial(jax.jit, static_argnames=("num_layers", "interpret"))
+@partial(jax.jit, static_argnames=("num_layers", "interpret", "group"))
 def fused_gcn_forward(
     params: dict,
     state: dict,
@@ -181,6 +181,7 @@ def fused_gcn_forward(
     *,
     num_layers: int = 3,
     interpret: bool = False,
+    group: int | None = None,
 ) -> jnp.ndarray:
     """Run the fused GCN inference kernel.  Returns logits ``[B, C]``.
 
@@ -206,7 +207,7 @@ def fused_gcn_forward(
         else jnp.zeros((1, H, H), jnp.float32)
     )
 
-    G = _choose_graphs_per_block(B, n, F, H)
+    G = group if group is not None else _choose_graphs_per_block(B, n, F, H)
     kernel = partial(
         _fused_gcn_kernel, num_layers=num_layers, graphs_per_block=G
     )
@@ -392,7 +393,7 @@ def _fused_sage_kernel(
         )
 
 
-@partial(jax.jit, static_argnames=("num_layers", "interpret"))
+@partial(jax.jit, static_argnames=("num_layers", "interpret", "group"))
 def fused_sage_forward(
     params: dict,
     state: dict,
@@ -402,6 +403,7 @@ def fused_sage_forward(
     *,
     num_layers: int = 3,
     interpret: bool = False,
+    group: int | None = None,
 ) -> jnp.ndarray:
     """Fused GraphSAGE inference kernel.  Returns logits ``[B, C]``.
 
@@ -439,7 +441,7 @@ def fused_sage_forward(
         [params["convs"][i]["bias"] for i in range(num_layers)]
     )
 
-    G = _choose_graphs_per_block(B, n, F, H)
+    G = group if group is not None else _choose_graphs_per_block(B, n, F, H)
     kernel = partial(
         _fused_sage_kernel, num_layers=num_layers, graphs_per_block=G
     )

@@ -748,6 +748,12 @@ class Trainer:
             for epoch in range(start_epoch, num_epochs + 1):
                 if hasattr(train_loader, "set_epoch"):
                     train_loader.set_epoch(epoch - 1)
+                if hasattr(val_loader, "set_epoch"):
+                    # pin the EVAL stream to the epoch too: a resumed run
+                    # must replay validation exactly (a fresh loader would
+                    # restart its sampling streams at epoch 0, shifting
+                    # val losses and flipping near-tie best-epoch picks)
+                    val_loader.set_epoch(epoch - 1)
                 train_loss = self.train_epoch(train_loader)
                 val_metrics = self.evaluate(val_loader)
 

@@ -135,8 +135,9 @@ class TestPredict:
         sharded = ConnectomeDataLoader(graphs, batch_size=8, shuffle=False, num_shards=8)
         # same params → same per-graph logits from both loader layouts
         single = Trainer(model, seed=0)
-        a = single.predict(plain)
-        b = trainer.predict(sharded)
+        # COO layout: the XLA path is the point here, not the fused one
+        a = single.predict(plain, prefer_fused=False)
+        b = trainer.predict(sharded, prefer_fused=False)
         assert a.shape == b.shape == (20, 2)
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
@@ -168,7 +169,7 @@ class TestPredictUnlabeled:
             g.label = None
         loader = ConnectomeDataLoader(graphs, batch_size=4, shuffle=False)
         trainer = make_trainer()
-        logits = trainer.predict(loader)
+        logits = trainer.predict(loader, prefer_fused=False)
         assert logits.shape == (6, 2)
 
     def test_predict_fully_unlabeled_cohort(self):
@@ -177,7 +178,7 @@ class TestPredictUnlabeled:
             g.label = None
         loader = ConnectomeDataLoader(graphs, batch_size=4, shuffle=False)
         trainer = make_trainer()
-        logits = trainer.predict(loader)
+        logits = trainer.predict(loader, prefer_fused=False)
         assert logits.shape == (5, 2)
 
 
@@ -285,7 +286,10 @@ class TestPredictFusedServing:
         dense = ConnectomeDataLoader(
             graphs, batch_size=8, shuffle=False, layout="dense"
         )
-        p_coo = trainer.predict(coo)
+        # a COO batch under prefer_fused warns once and falls back to
+        # the XLA path - pinned here, silenced everywhere else
+        with pytest.warns(UserWarning, match="COO-layout"):
+            p_coo = trainer.predict(coo)
         p_fused = trainer.predict(dense, prefer_fused=True, interpret=True)
         p_plain = trainer.predict(dense, prefer_fused=False)
         assert p_fused.shape == (24, 2)
