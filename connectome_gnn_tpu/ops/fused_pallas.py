@@ -293,17 +293,52 @@ def forward_auto(
         and _uniform_hidden_width(model, params)
         and (interpret or jax.default_backend() == "tpu")
     ):
-        return fused_fn(
-            params,
-            state,
-            batch.node_features,
-            batch.adj,
-            batch.node_mask,
-            num_layers=model.num_layers,
-            interpret=interpret,
+        return _fused_with_vmem_retry(
+            fused_fn, params, state, batch, model.num_layers, interpret
         )
     logits, _ = model.apply(params, state, batch, train=False)
     return logits
+
+
+#: (fn, B, n, F, H, L) -> group size proven to compile under the
+#: 16 MB scoped-VMEM limit on this backend
+_PROVEN_GROUPS: dict = {}
+
+
+def _fused_with_vmem_retry(fused_fn, params, state, batch, num_layers,
+                           interpret):
+    """Call a fused kernel, retrying with the next-smaller divisor group
+    when the compiler rejects the heuristic's pick for scoped VMEM.
+
+    The `_choose_graphs_per_block` estimate undercounts the compiler's
+    scoped accounting by ~23% at the swept shape (see
+    ``_VMEM_BLOCK_BUDGET``); for unswept (n, F, H) combinations the
+    chosen ``G`` may exceed the 16 MB limit — a hard compile error, not
+    a spill.  Each shape's first proven group is cached so the fallback
+    compiles are paid once.  (Under an outer trace — mesh serving —
+    the error surfaces at the caller's compile as before.)
+    """
+    B, n, F = batch.node_features.shape
+    H = params["convs"][-1]["kernel"].shape[1]
+    key = (fused_fn, B, n, F, H, num_layers)
+    g = _PROVEN_GROUPS.get(key)
+    if g is None:
+        g = _choose_graphs_per_block(B, n, F, H)
+    args = (params, state, batch.node_features, batch.adj,
+            batch.node_mask)
+    while True:
+        try:
+            out = fused_fn(*args, num_layers=num_layers,
+                           interpret=interpret, group=g)
+            _PROVEN_GROUPS[key] = g
+            return out
+        except Exception as e:
+            msg = str(e).lower()
+            if g <= 1 or ("vmem" not in msg and "resource" not in msg):
+                raise
+            g -= 1
+            while g > 1 and B % g:
+                g -= 1
 
 
 def gcn_forward_auto(
