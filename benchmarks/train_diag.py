@@ -478,6 +478,7 @@ def main() -> None:
     adj_T.band.delete()
     del adj_T
     xb.delete()
+    g_cot.delete()  # the r5 f32-row cotangent — margin here is razor-thin
     a2, _ = quant_exp.build_band(N, args.degree, args.band, block)
     adj_norm, dinv2 = gcn_normalize_banded(a2)
     a2.band.delete()
@@ -493,6 +494,28 @@ def main() -> None:
         ),
         (adj_norm.band, dinv), f32_step_bytes,
     )
+
+    # forward-ONLY train-mode pass through the same model: splits the
+    # f32 non-band residual into its fwd and bwd halves (VERDICT r4
+    # weak #1 follow-through — what the grad transform adds is then
+    # step − forward − band_bwd−attributable rows, all measured)
+    def f32_fwd_model(band, dinv_, x_, eps, i):
+        logits, _ = model.apply_normalized(
+            params, state, BandedMatrix(band, N, W), dinv_, x_ + eps,
+            train=True,
+        )
+        return jnp.sum(logits)
+
+    dt = device_loop_time(
+        f32_fwd_model, (adj_norm.band, dinv, x), args.step_iters
+    )
+    results["steps"]["f32_forward_train_mode"] = {
+        "ms": dt * 1e3,
+        "edges_per_s": L * E / dt,
+        "hbm_frac": (f32_step_bytes / 3) / dt / PEAK_HBM_BPS,
+    }
+    print(f"# step f32_forward_train_mode: {dt*1e3:.3f} ms",
+          file=sys.stderr, flush=True)
     adj_norm.band.delete()
 
     # ---- attribution ---------------------------------------------------
@@ -535,12 +558,26 @@ def main() -> None:
         "head_ce_fwd_bwd": ps["head_ce_fwd_bwd_rm"]["ms"],
     }
     expected = sum(f32_rows.values())
+    fwd_ms = st["f32_forward_train_mode"]["ms"]
+    fwd_band = L * ps["f32_fwd"]["ms"]
+    fwd_expected_non_band = (
+        L * (ps["weight_matmul_rm"]["ms"] + ps["bn_train_relu_rm"]["ms"])
+        # head fwd only ≈ a third of the fwd+bwd row
+        + ps["head_ce_fwd_bwd_rm"]["ms"] / 3
+    )
     results["attribution"]["f32_5t"].update({
         "expected_non_band_rows_ms": f32_rows,
         "expected_non_band_ms": expected,
         "unattributed_ms": results["attribution"]["f32_5t"][
             "non_band_ms"
         ] - expected,
+        "forward_train_mode_ms": fwd_ms,
+        "forward_non_band_ms": fwd_ms - fwd_band,
+        "forward_expected_non_band_ms": fwd_expected_non_band,
+        "backward_ms": st["f32_5t"]["ms"] - fwd_ms,
+        "backward_band_ms": L * ps["f32_bwd_transposed"]["ms"],
+        "backward_non_band_ms": st["f32_5t"]["ms"] - fwd_ms
+        - L * ps["f32_bwd_transposed"]["ms"],
     })
 
     out = json.dumps(results, indent=2)

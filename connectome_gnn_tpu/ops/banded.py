@@ -29,6 +29,7 @@ rb·block + i)``.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -112,13 +113,30 @@ def banded_spmm(a: BandedMatrix, x: jnp.ndarray) -> jnp.ndarray:
     Sender blocks are materialized as a shifted block-window view (a
     coarse block-level take, not a per-row gather), then contracted with
     the band in one batched ``einsum`` on the MXU.
+
+    Differentiable wrt ``x`` through a custom VJP (round 5): XLA's
+    autodiff transpose of the block-window ``take`` is a SCATTER-ADD
+    over the overlapping windows — measured as the dominant share of
+    the f32 train step's unattributed backward time
+    (TRAIN_DIAG_r05.json).  The custom backward computes
+    ``x̄ = Aᵀ·ȳ`` as one batched einsum (``windows_bar[rb, d] =
+    band[rb, d]ᵀ · ȳ[rb]``) plus ``2W+1`` STATIC slice-adds — dense
+    regular ops only.  The adjacency is training data, not a parameter:
+    its cotangent is returned as zeros (DCE'd when unused).
     """
-    block, nb, W = a.block, a.num_blocks, a.bandwidth
+    return _banded_spmm_vjp(a.band, x, a.num_nodes, int(x.shape[0]))
+
+
+def _banded_spmm_impl(band, x, num_nodes: int):
+    nb, dd, block, _ = band.shape
+    W = (dd - 1) // 2
     padded = nb * block
     F = x.shape[1]
 
     x_pad = jnp.zeros((padded + 2 * W * block, F), x.dtype)
-    x_pad = jax.lax.dynamic_update_slice(x_pad, x[: a.num_nodes], (W * block, 0))
+    x_pad = jax.lax.dynamic_update_slice(
+        x_pad, x[:num_nodes], (W * block, 0)
+    )
     x_blocks = x_pad.reshape(nb + 2 * W, block, F)
 
     # windows[rb, d] = x_blocks[rb + d]  — block-level take (regular access)
@@ -127,11 +145,58 @@ def banded_spmm(a: BandedMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
     out = jnp.einsum(
         "ndrc,ndcf->nrf",
-        a.band,
+        band,
         windows,
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(padded, F)[: a.num_nodes]
+    return out.reshape(padded, F)[:num_nodes]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _banded_spmm_vjp(band, x, num_nodes: int, x_rows: int):
+    return _banded_spmm_impl(band, x, num_nodes)
+
+
+def _banded_spmm_fwd(band, x, num_nodes: int, x_rows: int):
+    return _banded_spmm_impl(band, x, num_nodes), band
+
+
+def _banded_spmm_bwd(num_nodes: int, x_rows: int, res, g):
+    band = res
+    nb, dd, block, _ = band.shape
+    W = (dd - 1) // 2
+    padded = nb * block
+    F = g.shape[1]
+
+    g_pad = jnp.zeros((padded, F), g.dtype)
+    g_pad = jax.lax.dynamic_update_slice(g_pad, g[:num_nodes], (0, 0))
+    g_blocks = g_pad.reshape(nb, block, F)
+
+    # x_blocks_bar[rb + d] += band[rb, d]ᵀ @ ȳ[rb], one batched einsum
+    # PER DIAGONAL + a static slice-add.  Deliberately NOT one
+    # [NB, 2W+1, block, F] windows_bar einsum: that tensor's layout is
+    # contested between the conv-lowered contraction and its consumers,
+    # and XLA resolves it with ~1.3 GB layout-conversion copies
+    # (measured as the f32 step's unattributed backward time —
+    # F32_ABLATION_r05.json / the HLO's {2,3,0,1} copies).
+    xbar_blocks = jnp.zeros((nb + 2 * W, block, F), jnp.float32)
+    for d in range(2 * W + 1):
+        contrib = jnp.einsum(
+            "nrc,nrf->ncf", band[:, d], g_blocks,
+            preferred_element_type=jnp.float32,
+        )
+        xbar_blocks = xbar_blocks.at[d : d + nb].add(contrib)
+    xbar = xbar_blocks[W : W + nb].reshape(padded, F)[:x_rows]
+    if x_rows > num_nodes:
+        # x rows beyond num_nodes never entered the forward
+        xbar = jnp.concatenate([
+            xbar[:num_nodes],
+            jnp.zeros((x_rows - num_nodes, F), jnp.float32),
+        ])
+    return jnp.zeros_like(band), xbar
+
+
+_banded_spmm_vjp.defvjp(_banded_spmm_fwd, _banded_spmm_bwd)
 
 
 def transpose_banded(a: BandedMatrix) -> BandedMatrix:
