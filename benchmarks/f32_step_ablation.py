@@ -219,9 +219,8 @@ def main() -> None:
     full = results["full"]["ms"]
     results["deltas_ms"] = {
         "bn_total_in_context": full - results["no_bn"]["ms"],
-        "head_total_in_context": full - results["no_head"]["ms"],
         "wmat_total_in_context": full - results["no_wmat"]["ms"],
-        "band_only_step": results["band_only"]["ms"],
+        "dw_total_in_context": full - results["wmat_no_dw"]["ms"],
         "backward_of_full": full - results["fwd_only"]["ms"],
     }
     out = json.dumps(results, indent=2)

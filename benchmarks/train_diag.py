@@ -381,7 +381,9 @@ def main() -> None:
         dw = jnp.einsum(
             "nf,nk->fk", v, g, preferred_element_type=jnp.float32
         )
-        return v + 1e-30 * dw[0]
+        # sum over ALL of dw: keeping only a row would let XLA DCE
+        # 63/64 of the reduction (the round-5 ablation's lesson)
+        return v + 1e-30 * dw.sum(0)
 
     dt = chained_loop_time(dw_rm, x, it, g_cot)
     record_pass("dw_reduction_rm", dt, 2 * F * N * 4)
