@@ -131,6 +131,20 @@ class Trainer:
         self.params = params
         self.state = state
         self.opt_state = self.optimizer.init(self.params)
+        if mesh is not None and jax.process_count() == 1:
+            # commit the training state to the mesh (replicated) UP
+            # FRONT: otherwise the first step compiles for uncommitted
+            # inputs, its outputs come back committed, and the SECOND
+            # call recompiles the whole program — one wasted compile
+            # per jitted step family (worst for the one-dispatch-per-
+            # epoch scanned path, where it doubled the first epochs)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec())
+            self.params, self.state, self.opt_state = jax.device_put(
+                (self.params, self.state, self.opt_state), sh
+            )
+            self._rng = jax.device_put(self._rng, sh)
 
         if mesh is None:
             self._train_step = self._build_train_step()
