@@ -193,6 +193,11 @@ def main() -> int:
         "broadcast": None,
         "compacted_a2_r2": CompactionConfig(alpha=2.0, rounds=2),
         "compacted_a1.25_r1": CompactionConfig(alpha=1.25, rounds=1),
+        # same tight capacity WITHOUT unique-id feature requests: shows
+        # what the dedup schedule buys (overflow at equal payload)
+        "compacted_a1.25_r1_nodedup": CompactionConfig(
+            alpha=1.25, rounds=1, dedup_features=False
+        ),
     }
     artifact = {
         "what": "graph-sharded sampling exchange: counted payloads + "
@@ -205,10 +210,17 @@ def main() -> int:
             "asserted equal to sharded_sampling_comm_model",
             "compacted semantics: exact (bitwise = broadcast) while no "
             "(requester,owner) pair exceeds rounds*C remote requests; "
-            "overflow drops deterministically and is counted",
-            "CPU-mesh timings are payload-proportional memcpys, not "
-            "ICI: use the counted bytes + 45 GB/s for the pod "
-            "projection",
+            "overflow drops deterministically and is counted; "
+            "dedup_features bounds UNIQUE remote ids instead of slots "
+            "(the residual overflow of 3 at a1.25/r1 on this spatial "
+            "fixture is the HOP stage, whose per-slot randomness "
+            "cannot dedup)",
+            "CPU-mesh timings measure the COMPUTE side of compaction "
+            "(sorts, schedule scatters, the dedup fan-out gather) plus "
+            "memcpy collectives - NOT ICI: a2/r2's extra rounds and "
+            "dedup's sort show as CPU cost here while the wire payload "
+            "(the counted section) is what a pod pays; use counted "
+            "bytes + 45 GB/s for the pod projection",
         ],
     }
     s = json.dumps(artifact, indent=2)

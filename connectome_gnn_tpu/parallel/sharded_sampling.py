@@ -101,10 +101,21 @@ class CompactionConfig:
         requests per (requester → owner) pair; beyond that requests
         drop (and count).  Payload scales linearly in ``rounds`` —
         buckets ship padded whether full or empty.
+    dedup_features
+        Request each remote node id ONCE in the feature stage and
+        broadcast the answered row to its duplicate slots (multiset
+        sampling re-draws hot nodes, so duplicates concentrate
+        per-owner load) — capacity then bounds UNIQUE remote ids per
+        (requester → owner) pair, making tight ``alpha`` settings
+        exact where the slot-wise schedule would overflow.  Values are
+        identical either way (feature answers depend only on the id);
+        the per-hop DRAW requests can never dedup — their randomness
+        is keyed per (requester, slot).
     """
 
     alpha: float = 2.0
     rounds: int = 2
+    dedup_features: bool = True
 
     def capacity(self, n: int, D: int) -> int:
         return max(1, -(-int(round(self.alpha * n)) // D))
@@ -396,6 +407,61 @@ def _compact_schedule(ids, owner, eligible, D: int, C: int, R: int):
     return req_ids, req_slot, overflow
 
 
+def _compact_schedule_dedup(ids, owner, eligible, D: int, C: int, R: int):
+    """As :func:`_compact_schedule`, but each distinct (owner, id) pair
+    is scheduled ONCE — at its first-occurrence slot — and every
+    duplicate slot records where to copy the answer from.
+
+    One stable sort by (owner, id): run firsts are the unique requests;
+    their rank among the owner group's uniques gives (round, position).
+    Returns ``req_ids``, ``req_slot``, ``overflow`` (UNIQUE ids beyond
+    ``R·C`` for their owner), and ``dup_src [n]`` — for every slot, the
+    first-occurrence slot of its id (itself for local/invalid slots):
+    gather the answered buffer through it to fan answers out to
+    duplicates."""
+    n = int(ids.shape[0])
+    i32 = jnp.int32
+    iota = jnp.arange(n, dtype=i32)
+    okey = jnp.where(eligible, owner, D)
+    idkey = jnp.where(eligible, ids, -1)
+    sk, sid, order = jax.lax.sort((okey, idkey, iota), num_keys=2)
+    elig_sorted = sk < D
+    new_pair = jnp.concatenate(
+        [jnp.ones(1, bool), (sk[1:] != sk[:-1]) | (sid[1:] != sid[:-1])]
+    )
+    uniq = elig_sorted & new_pair
+    grp_first = elig_sorted & jnp.concatenate(
+        [jnp.ones(1, bool), sk[1:] != sk[:-1]]
+    )
+    u_idx = jnp.cumsum(uniq.astype(i32)) - 1  # unique ordinal per pos
+    rank = u_idx - jax.lax.cummax(jnp.where(grp_first, u_idx, -1))
+    rnd = rank // C
+    pos = rank - rnd * C
+    ok = uniq & (rnd < R)
+    overflow = jnp.sum((uniq & (rnd >= R)).astype(i32))
+    flat = jnp.where(ok, (rnd * D + sk) * C + pos, R * D * C)
+    req_ids = (
+        jnp.full(R * D * C, -1, i32)
+        .at[flat]
+        .set(ids[order], mode="drop")
+        .reshape(R, D, C)
+    )
+    req_slot = (
+        jnp.full(R * D * C, -1, i32)
+        .at[flat]
+        .set(order, mode="drop")
+        .reshape(R, D, C)
+    )
+    # duplicate fan-out: the sorted position of each run's first is a
+    # cummax over ascending iota; its ORIGINAL slot is order[pfirst]
+    pfirst = jax.lax.cummax(jnp.where(uniq, iota, -1))
+    src_sorted = jnp.where(
+        elig_sorted, order[jnp.maximum(pfirst, 0)], order
+    )
+    dup_src = jnp.zeros(n, i32).at[order].set(src_sorted)
+    return req_ids, req_slot, overflow, dup_src
+
+
 def _compacted_rounds(
     req_ids, req_slot, answer_fn, out_buf, axis_name
 ):
@@ -601,10 +667,16 @@ def sharded_device_sample_with_stats(
         il = jnp.clip(all_nodes - lo, 0, P - 1)
         x_loc = jnp.where(local[:, None], feats[il], 0.0)
         C = compaction.capacity(NBud, D)
-        req_ids, req_slot, ovf = _compact_schedule(
-            all_nodes, owner, node_mask & (owner != me),
-            D, C, compaction.rounds,
-        )
+        remote = node_mask & (owner != me)
+        if compaction.dedup_features:
+            req_ids, req_slot, ovf, dup_src = _compact_schedule_dedup(
+                all_nodes, owner, remote, D, C, compaction.rounds
+            )
+        else:
+            req_ids, req_slot, ovf = _compact_schedule(
+                all_nodes, owner, remote, D, C, compaction.rounds
+            )
+            dup_src = None
         overflow = overflow + ovf
 
         def feat_answer(nodes, slots):
@@ -617,6 +689,8 @@ def sharded_device_sample_with_stats(
             req_ids, req_slot, feat_answer,
             jnp.zeros((NBud, F), feats.dtype), axis_name,
         )
+        if dup_src is not None:
+            x_rem = x_rem[dup_src]
         x = jnp.where(local[:, None], x_loc, x_rem)
     x = jnp.where(node_mask[:, None], x, 0.0)
 

@@ -347,6 +347,14 @@ class Trainer:
     def _placed_sharded_csr(self):
         # keyed by the csr's identity, like _replicated_csr — a swapped
         # model/partition must not silently reuse the stale placement
+        D = int(self.mesh.shape[self.axis_name])
+        if self.model.csr.num_shards != D:
+            raise ValueError(
+                f"graph-sharded model has {self.model.csr.num_shards} "
+                f"shards but the mesh axis '{self.axis_name}' has {D} "
+                f"devices — repartition (graph_sharded_sage(graph, "
+                f"num_shards={D}, ...)) or build a matching mesh"
+            )
         cache = self.__dict__.setdefault("_gs_csr_cache", {})
         key = id(self.model.csr.indptr)
         if key not in cache:

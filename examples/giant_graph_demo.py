@@ -297,8 +297,9 @@ def main() -> None:
             graph_sharded_sage,
         )
 
+        gs_dev = len(jax.devices())  # num_dev may be capped by max_shards
         gs = graph_sharded_sage(
-            sw, num_shards=num_dev, hidden_dim=64, fanout=(10, 10),
+            sw, num_shards=gs_dev, hidden_dim=64, fanout=(10, 10),
             compaction=CompactionConfig(alpha=2.0, rounds=2),
         )
         tr = gs.make_loader(
@@ -313,7 +314,7 @@ def main() -> None:
         hist = trainer.fit(tr, va, num_epochs=2, patience=10,
                            verbose=False)
         print(
-            f"graph-sharded sampled training ({num_dev} node shards, "
+            f"graph-sharded sampled training ({gs_dev} node shards, "
             f"compacted exchange): val acc {hist['val_acc'][-1]:.3f}, "
             f"exchange overflow {trainer.last_sampling_overflow} "
             f"(0 = exact)"

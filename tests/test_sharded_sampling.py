@@ -355,7 +355,10 @@ class TestCompactedExchange:
         keys = self._keys(D)
         md = max(sg.max_in_degree, 1)
         fanout = (md,)  # keep-all: drawn sets are deterministic
-        comp = CompactionConfig(alpha=1.0, rounds=1)  # C = S/D = 1
+        # dedup off: this test's numpy emulation is the SLOT-wise
+        # schedule (the dedup schedule is covered separately)
+        comp = CompactionConfig(alpha=1.0, rounds=1,
+                                dedup_features=False)  # C = S/D = 1
         ref, _ = _sample_all(mesh, sg, seeds, keys, fanout, None)
         got, ovf = _sample_all(mesh, sg, seeds, keys, fanout, comp)
 
@@ -403,6 +406,58 @@ class TestCompactedExchange:
                         np.asarray(g.node_features)[got_ids[r, i]],
                     )
             assert int(ovf[r]) == ovf_hop + ovf_f
+
+    def test_feature_dedup_makes_tight_capacity_exact(self, cpu_devices):
+        """Multiset sampling re-requests duplicate drawn nodes; with
+        ``dedup_features`` the capacity bounds UNIQUE remote ids, so a
+        tight alpha that overflows slot-wise becomes exact — and the
+        result stays bitwise equal to the broadcast oracle."""
+        g = _graph(n=128, degree=6, band=12, shortcut_frac=0.0)
+        D = 4
+        mesh = create_mesh(devices=cpu_devices[:D])
+        sg = ShardedGraphCSR.partition(g, D)
+        md = max(sg.max_in_degree, 1)
+        P_ = sg.nodes_per_shard
+        # LOCAL seeds at each shard's low boundary: the hop stage needs
+        # no exchange, while keep-all draws reach into the previous
+        # shard through overlapping band windows — duplicated remote ids
+        seeds = np.stack([
+            np.arange(d * P_, d * P_ + 3, dtype=np.int32)
+            for d in range(D)
+        ])
+        keys = self._keys(D, base=40)
+        ref, ovf_ref = _sample_all(mesh, sg, seeds, keys, (md,), None)
+        assert (ovf_ref == 0).all()
+
+        # pick the capacity from the ORACLE's duplicate structure: the
+        # worst (requester, owner) pair's unique remote ids fit, its
+        # slot-wise request count does not
+        ids = ref[5]
+        NBud = ids.shape[1]
+        max_uniq = max_slots = 0
+        for r in range(D):
+            owner = np.clip(np.maximum(ids[r], 0) // P_, 0, D - 1)
+            for o in range(D):
+                sel = (ids[r] >= 0) & (owner == o) & (o != r)
+                max_slots = max(max_slots, int(sel.sum()))
+                max_uniq = max(
+                    max_uniq, len(np.unique(ids[r][sel]))
+                )
+        assert max_slots > max_uniq > 0, (max_slots, max_uniq)
+        alpha = (max_uniq * D) / NBud  # capacity == max_uniq exactly
+        tight = dict(alpha=alpha, rounds=1)
+        comp_slot = CompactionConfig(**tight, dedup_features=False)
+        assert comp_slot.capacity(NBud, D) == max_uniq
+
+        _, ovf_slot = _sample_all(mesh, sg, seeds, keys, (md,), comp_slot)
+        got, ovf_dedup = _sample_all(
+            mesh, sg, seeds, keys, (md,),
+            CompactionConfig(**tight, dedup_features=True),
+        )
+        assert ovf_slot.sum() > 0  # slot-wise schedule overflows here
+        assert ovf_dedup.sum() == 0  # unique-id schedule fits
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
 
     def test_counted_payload_matches_analytic_model(self, cpu_devices):
         """count_collective_bytes (jaxpr walk of the ACTUAL program) ==

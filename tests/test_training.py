@@ -114,7 +114,9 @@ class TestPredict:
     def test_predict_order_and_shape(self, small_loaders):
         _, val_loader = small_loaders
         trainer = make_trainer()
-        logits = trainer.predict(val_loader)
+        # COO layout: the XLA path is the point here (the fused-fallback
+        # warning itself is pinned in test_coo_fallback_warns_once)
+        logits = trainer.predict(val_loader, prefer_fused=False)
         assert logits.shape == (10, 2)
         # predictions consistent with evaluate()'s accuracy accounting
         metrics = trainer.evaluate(val_loader)
