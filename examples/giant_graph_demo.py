@@ -306,8 +306,12 @@ def main() -> None:
             order[: int(0.8 * n)], labels, batch_size=1024, seed=0,
             drop_last=True,
         )
+        # val batch smaller than the pool (drop_last would otherwise
+        # leave ZERO eval batches at small --nodes; divisible by shards)
         va = gs.make_loader(
-            order[int(0.8 * n):], labels, batch_size=1024,
+            order[int(0.8 * n):], labels,
+            batch_size=max(gs_dev, min(512, (len(order) - int(0.8 * n))
+                                       // gs_dev * gs_dev)),
             shuffle=False, drop_last=True,
         )
         trainer = Trainer(gs, mesh=create_mesh())
