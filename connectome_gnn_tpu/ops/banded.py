@@ -123,6 +123,15 @@ def banded_spmm(a: BandedMatrix, x: jnp.ndarray) -> jnp.ndarray:
     band[rb, d]ᵀ · ȳ[rb]``) plus ``2W+1`` STATIC slice-adds — dense
     regular ops only.  The adjacency is training data, not a parameter:
     its cotangent is returned as zeros (DCE'd when unused).
+
+    The band may be stored **bfloat16** (``a._replace(band=a.band.
+    astype(jnp.bfloat16))``) for HALF the resident bytes (5.37 → 2.7 GB
+    at the 1M/±512 config — a 2× bigger banded graph per chip).  On
+    TPU this costs NOTHING numerically: the HLO shows XLA's conv
+    lowering converts f32 band operands to bf16 anyway (f32
+    accumulation either way; F32_ABLATION_r05.json measured identical
+    step times for f32- and bf16-stored bands).  Accumulation stays
+    ``preferred_element_type=float32`` in both directions.
     """
     return _banded_spmm_vjp(a.band, x, a.num_nodes, int(x.shape[0]))
 

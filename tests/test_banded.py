@@ -449,3 +449,32 @@ class TestApplyNormalized:
         ):
             np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestBf16Band:
+    def test_bf16_stored_band_close_and_differentiable(self):
+        """A bf16-stored band (half the residency; on TPU the conv
+        lowering rounds f32 operands to bf16 anyway) stays within bf16
+        tolerance of the f32 band, forward and gradient."""
+        import jax
+        import jax.numpy as jnp
+
+        from connectome_gnn_tpu.data import generate_spatial_graph
+        from connectome_gnn_tpu.ops import to_banded
+        from connectome_gnn_tpu.ops.banded import banded_spmm
+
+        g = generate_spatial_graph(256, degree=6, band=24, seed=2)
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        a16 = a._replace(band=a.band.astype(jnp.bfloat16))
+        x = jax.random.normal(jax.random.PRNGKey(0), (g.num_nodes, 8))
+
+        y32 = banded_spmm(a, x)
+        y16 = banded_spmm(a16, x)
+        scale = float(jnp.max(jnp.abs(y32))) + 1e-9
+        assert float(jnp.max(jnp.abs(y16 - y32))) / scale < 1e-2
+
+        g32 = jax.grad(lambda v: jnp.sum(banded_spmm(a, v) ** 2))(x)
+        g16 = jax.grad(lambda v: jnp.sum(banded_spmm(a16, v) ** 2))(x)
+        gs = float(jnp.max(jnp.abs(g32))) + 1e-9
+        assert float(jnp.max(jnp.abs(g16 - g32))) / gs < 2e-2
