@@ -478,3 +478,37 @@ class TestBf16Band:
         g16 = jax.grad(lambda v: jnp.sum(banded_spmm(a16, v) ** 2))(x)
         gs = float(jnp.max(jnp.abs(g32))) + 1e-9
         assert float(jnp.max(jnp.abs(g16 - g32))) / gs < 2e-2
+
+    def test_prepare_band_dtype_through_model(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from connectome_gnn_tpu.data import generate_spatial_graph
+        from connectome_gnn_tpu.models import BandedNodeGCN
+        from connectome_gnn_tpu.ops import to_banded, to_hybrid
+
+        g = generate_spatial_graph(256, degree=6, band=24, seed=3)
+        a = to_banded(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32)
+        model = BandedNodeGCN(in_channels=5, hidden_dim=16, num_classes=2,
+                              num_layers=2)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(g.node_features)
+
+        adj32, dinv = model.prepare(a)
+        adj16, dinv16 = model.prepare(a, band_dtype="bfloat16")
+        assert adj16.band.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(dinv), np.asarray(dinv16))
+        y32, _ = model.apply_normalized(params, state, adj32, dinv, x)
+        y16, _ = model.apply_normalized(params, state, adj16, dinv16, x)
+        scale = float(jnp.max(jnp.abs(y32))) + 1e-9
+        assert float(jnp.max(jnp.abs(y16 - y32))) / scale < 2e-2
+
+        h = to_hybrid(g.edge_index[0], g.edge_index[1], g.edge_weight,
+                      g.num_nodes, block=32, bandwidth=0)
+        with pytest.raises(ValueError, match="pure-band"):
+            model.prepare(h, band_dtype="bfloat16")
+        with pytest.raises(ValueError, match="band_dtype"):
+            model.prepare(a, band_dtype="fp8")
