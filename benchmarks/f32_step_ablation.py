@@ -30,11 +30,14 @@ FINDINGS (committed in F32_ABLATION_r05.json, HLO-verified):
      66.9 -> 59.4 ms (the shipped fix).
   3. The remaining ~16 ms of in-context dW cost is NOT the reduction
      itself (standalone [1M,64]^T [1M,64] = 1.8 ms at any chunking/
-     dtype) but layout tax around the conv lowering (block-major
-     {1,2,0} 64-minor operands waste half of every 128-lane tile and
-     force relayouts); barriers do not help.  Retired as a compiler-
-     layout boundary, with the int8 fm path (27 ms/step) remaining the
-     recommended training kernel at this scale.
+     dtype).  Five dodges were built and measured to fail: an
+     optimization barrier between matmul and band pass, a custom
+     matmul VJP with a barrier'd cotangent, bf16-stored bands, and a
+     fully BLOCKED-activation forward ([nb, block, F] end-to-end so
+     dW's operands share the conv's layout) — all within noise of the
+     59.4 ms step.  Retired as program-level critical-path cost around
+     the conv lowering, with the int8 fm path (27 ms/step) remaining
+     the recommended training kernel at this scale.
 
 Methodology: carried on-device loops, full-vs-quarter differencing,
 value-fetch sync (benchmarks/suite.py).  The earlier no_head /
@@ -160,6 +163,61 @@ def main() -> None:
             return jnp.mean(ce)
         return jnp.sum(h) * 1e-12
 
+    # --- blocked-activation variant: [nb, block, F] end-to-end, so the
+    # dW einsum's operands live in the conv's own blocked layout and no
+    # relayout copies are needed (the retired-dW-tax hypothesis test)
+    nb = adj.num_blocks
+    blk = adj.block
+    padded = nb * blk
+    Wb_ = adj.bandwidth
+    sn_b = jnp.pad((dinv * dinv)[:N], (0, padded - N)).reshape(
+        nb, blk, 1
+    )
+    bn_eps = 1e-5
+
+    def banded_spmm_blocked(band, hb):
+        xb = jnp.pad(hb, ((Wb_, Wb_), (0, 0), (0, 0)))
+        idx = jnp.arange(nb)[:, None] + jnp.arange(2 * Wb_ + 1)[None, :]
+        windows = jnp.take(xb, idx, axis=0)
+        return jnp.einsum("ndrc,ndcf->nrf", band, windows,
+                          preferred_element_type=jnp.float32)
+
+    nmask_b = (jnp.arange(padded) < N).reshape(nb, blk, 1).astype(
+        jnp.float32
+    )
+    labels_pad = jnp.pad(labels, (0, padded - N))
+    lmask = (jnp.arange(padded) < N).astype(jnp.float32)
+
+    def forward_blocked(p, band, x_):
+        hb = jnp.pad(x_, ((0, padded - N), (0, 0))).reshape(nb, blk, F)
+        for i in range(L):
+            hwb = jnp.einsum("nbf,fk->nbk", hb, p["w"][i],
+                             preferred_element_type=jnp.float32)
+            hb = banded_spmm_blocked(band, hwb) + sn_b * hwb
+            # masked train-mode BN over the (block, row) axes
+            cnt = jnp.sum(nmask_b)
+            mu = jnp.sum(hb * nmask_b, axis=(0, 1)) / cnt
+            var = jnp.sum(((hb - mu) ** 2) * nmask_b, axis=(0, 1)) / cnt
+            hb = (hb - mu) * jax.lax.rsqrt(var + bn_eps)
+            hb = hb * p["bn"][i]["scale"] + p["bn"][i]["bias"]
+            hb = jax.nn.relu(hb) * nmask_b
+        logits = jnp.einsum("nbf,fk->nbk", hb, p["head"],
+                            preferred_element_type=jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(padded, 2), labels_pad
+        )
+        return jnp.sum(ce * lmask) / N
+
+    def step_blocked(carry, band, x_, eps, i):
+        p, o = carry
+
+        def loss_fn(pp):
+            return forward_blocked(pp, band, x_ + eps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o2 = opt.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o2)
+
     def make_step(**kw):
         def step(carry, band, x_, eps, i):
             p, o = carry
@@ -208,6 +266,12 @@ def main() -> None:
         args.iters, lambda c: jnp.sum(c[0]["head"]),
     )
     record("full_band_bf16", dt)
+
+    dt = carried_loop_time(
+        step_blocked, (params, opt_state), (adj.band, x),
+        args.iters, lambda c: jnp.sum(c[0]["head"]),
+    )
+    record("full_blocked_activations", dt)
 
     def fwd_only(band, x_, eps, i):
         return forward(params, band, x_ + eps, use_bn=True,
