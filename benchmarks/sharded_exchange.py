@@ -162,6 +162,32 @@ def timed_virtual_mesh(configs, *, n=131_072, degree=24, S=256,
                   "degree": degree, "max_in_degree": sg.max_in_degree},
         "seeds_per_device": S, "fanout": list(fanout), "devices": D,
     }
+
+    # probe-planned per-stage config on THIS graph's real frontiers
+    from connectome_gnn_tpu.parallel import (
+        plan_compaction,
+        sharded_sampling_comm_model,
+    )
+
+    planned, loads = plan_compaction(
+        sg, mesh, np.broadcast_to(seeds, (3, D, S)),
+        jax.random.PRNGKey(99), fanout, return_loads=True,
+    )
+    configs = dict(configs)
+    configs["compacted_planned"] = planned
+    out["planned_config"] = {
+        "alpha": planned.alpha, "rounds": planned.rounds,
+        "alpha_features": planned.alpha_features,
+        "rounds_features": planned.rounds_features,
+        "probed_loads": loads,
+        "model_bytes_per_device_per_step": sharded_sampling_comm_model(
+            D=D, S=S, fanout=fanout,
+            F=int(g.node_features.shape[-1]),
+            max_deg=max(sg.max_in_degree, max(fanout), 1),
+            compaction=planned,
+        )["per_device_bytes_per_step"],
+    }
+
     for name, comp in configs.items():
         fn = _sampling_fn(mesh, fanout, comp)
         chk, nvalid, ovf = fn(sg, sj, kj)  # compile + warm
@@ -198,6 +224,12 @@ def main() -> int:
         "compacted_a1.25_r1_nodedup": CompactionConfig(
             alpha=1.25, rounds=1, dedup_features=False
         ),
+        # per-stage split: generous draw stages (which can overflow but
+        # are cheap), tight feature stage (which dominates payload but
+        # dedups) — the shape plan_compaction picks automatically
+        "compacted_split_d2.0_f1.25": CompactionConfig(
+            alpha=2.0, rounds=2, alpha_features=1.25, rounds_features=1
+        ),
     }
     artifact = {
         "what": "graph-sharded sampling exchange: counted payloads + "
@@ -215,6 +247,12 @@ def main() -> int:
             "(the residual overflow of 3 at a1.25/r1 on this spatial "
             "fixture is the HOP stage, whose per-slot randomness "
             "cannot dedup)",
+            "compacted_split / compacted_planned: per-stage capacities "
+            "(alpha_features/rounds_features) — the feature stage "
+            "carries ~97% of the payload but dedups, so it runs tight "
+            "while the cheap draw stages stay generous; "
+            "plan_compaction probes real frontiers and picks both "
+            "(timed section: planned_config, exact on this fixture)",
             "CPU-mesh timings measure the COMPUTE side of compaction "
             "(sorts, schedule scatters, the dedup fan-out gather) plus "
             "memcpy collectives - NOT ICI: a2/r2's extra rounds and "

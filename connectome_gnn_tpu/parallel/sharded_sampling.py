@@ -111,14 +111,37 @@ class CompactionConfig:
         identical either way (feature answers depend only on the id);
         the per-hop DRAW requests can never dedup — their randomness
         is keyed per (requester, slot).
+    alpha_features / rounds_features
+        Per-stage overrides for the FEATURE exchange (``None`` = use
+        ``alpha`` / ``rounds``).  The two stages have opposite
+        economics: the feature stage carries nearly all the payload
+        (``C_f·(8 + 4F)`` vs the hop stages' ``C·(8 + 8f)`` at the
+        ICI-projection shape: 105 of 108.5 MB at the α=2/R=2 default)
+        but dedups, so tight capacities stay exact, while the DRAW
+        stages are cheap but can never dedup and absorb the per-slot
+        skew.  Splitting them — generous draw α, tight feature α —
+        keeps exactness at near-minimal payload; :func:`plan_compaction`
+        measures the actual loads and picks both.
     """
 
     alpha: float = 2.0
     rounds: int = 2
     dedup_features: bool = True
+    alpha_features: Optional[float] = None
+    rounds_features: Optional[int] = None
+
+    @property
+    def feature_rounds(self) -> int:
+        return self.rounds if self.rounds_features is None else int(
+            self.rounds_features
+        )
 
     def capacity(self, n: int, D: int) -> int:
         return max(1, -(-int(round(self.alpha * n)) // D))
+
+    def feature_capacity(self, n: int, D: int) -> int:
+        a = self.alpha if self.alpha_features is None else self.alpha_features
+        return max(1, -(-int(round(a * n)) // D))
 
 
 @pytree_dataclass
@@ -666,15 +689,16 @@ def sharded_device_sample_with_stats(
         local = node_mask & (owner == me)
         il = jnp.clip(all_nodes - lo, 0, P - 1)
         x_loc = jnp.where(local[:, None], feats[il], 0.0)
-        C = compaction.capacity(NBud, D)
+        C = compaction.feature_capacity(NBud, D)
+        R_f = compaction.feature_rounds
         remote = node_mask & (owner != me)
         if compaction.dedup_features:
             req_ids, req_slot, ovf, dup_src = _compact_schedule_dedup(
-                all_nodes, owner, remote, D, C, compaction.rounds
+                all_nodes, owner, remote, D, C, R_f
             )
         else:
             req_ids, req_slot, ovf = _compact_schedule(
-                all_nodes, owner, remote, D, C, compaction.rounds
+                all_nodes, owner, remote, D, C, R_f
             )
             dup_src = None
         overflow = overflow + ovf
@@ -902,8 +926,8 @@ def sharded_sampling_comm_model(
     if compaction is None:
         feat_bytes = (D - 1) * nbud * 4 + (D - 1) * nbud * F * 4
     else:
-        C = compaction.capacity(nbud, D)
-        R = compaction.rounds
+        C = compaction.feature_capacity(nbud, D)
+        R = compaction.feature_rounds
         feat_bytes = R * (D - 1) * C * 8 + R * (D - 1) * C * F * 4
     total = hop_bytes + feat_bytes
     return {
@@ -912,6 +936,202 @@ def sharded_sampling_comm_model(
         "feature_exchange_bytes": int(feat_bytes),
         "node_budget": int(nbud),
     }
+
+
+def _census_remote_load(ids, P, D, me):
+    """Max over owners of this device's remote request count (slots)."""
+    i32 = jnp.int32
+    owner = jnp.clip(jnp.maximum(ids, 0) // P, 0, D - 1)
+    rem = (ids >= 0) & (owner != me)
+    cnt = jnp.zeros(D, i32).at[owner].add(rem.astype(i32))
+    return jnp.max(cnt)
+
+
+def _census_unique_remote_load(ids, P, D, me):
+    """Max over owners of this device's UNIQUE remote id count — the
+    load the dedup'd feature schedule has to carry."""
+    i32 = jnp.int32
+    owner = jnp.clip(jnp.maximum(ids, 0) // P, 0, D - 1)
+    rem = (ids >= 0) & (owner != me)
+    okey = jnp.where(rem, owner, D)
+    idkey = jnp.where(rem, ids, -1)
+    sk, sid = jax.lax.sort((okey, idkey), num_keys=2)
+    new_pair = jnp.concatenate(
+        [jnp.ones(1, bool), (sk[1:] != sk[:-1]) | (sid[1:] != sid[:-1])]
+    )
+    uniq = (sk < D) & new_pair
+    cnt = jnp.zeros(D + 1, i32).at[sk].add(uniq.astype(i32))
+    return jnp.max(cnt[:D])
+
+
+def sharded_sampling_census(
+    g: ShardedGraphCSR,
+    seeds: jnp.ndarray,
+    key: jax.Array,
+    fanout: Sequence[int],
+    *,
+    axis_name: str = "data",
+    dedup_features: bool = True,
+):
+    """Measure the exchange's per-stage peak bucket loads — call INSIDE
+    ``shard_map`` (same contract as :func:`sharded_device_sample`).
+
+    Runs the broadcast (exact) exchange once and counts, per stage, the
+    maximum number of remote requests any (requester → owner) bucket
+    would have to carry — exactly the quantity the compacted exchange's
+    ``rounds·C`` must cover for bitwise exactness.  The hop stages
+    count request SLOTS (draws can never dedup — their randomness is
+    keyed per slot); the feature stage counts UNIQUE remote ids when
+    ``dedup_features`` (the schedule :func:`_compact_schedule_dedup`
+    actually carries), raw slots otherwise.
+
+    Returns ``(draw_loads [num_hops], feature_load)`` int32, pmaxed
+    over ``axis_name`` (identical on every device).  Feed to
+    :func:`plan_compaction` — or use directly to validate a hand-picked
+    :class:`CompactionConfig` against real frontiers.
+    """
+    batch, _ = sharded_device_sample_with_stats(
+        g, seeds, key, fanout, axis_name=axis_name, compaction=None
+    )
+    P = g.nodes_per_shard
+    D = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    fanout = tuple(int(f) for f in fanout)
+    max_deg = max(g.max_in_degree, max(fanout) if fanout else 1, 1)
+    ids = batch.node_ids
+    S = int(seeds.shape[0])
+    start, seg_len = 0, S
+    draw_loads = []
+    for f in fanout:
+        seg = ids[start : start + seg_len]  # this hop's frontier
+        draw_loads.append(_census_remote_load(seg, P, D, me))
+        start += seg_len
+        seg_len *= min(f, max_deg)
+    if dedup_features:
+        fl = _census_unique_remote_load(ids, P, D, me)
+    else:
+        fl = _census_remote_load(ids, P, D, me)
+    dl = (
+        jnp.stack(draw_loads)
+        if draw_loads
+        else jnp.zeros(0, jnp.int32)
+    )
+    return jax.lax.pmax(dl, axis_name), jax.lax.pmax(fl, axis_name)
+
+
+def _alpha_for_capacity(C: int, n: int, D: int) -> float:
+    """Smallest alpha whose ``capacity(n, D)`` is at least ``C``
+    (guarding the float round-trip in the capacity formula)."""
+    a = C * D / max(n, 1)
+    while max(1, -(-int(round(a * n)) // D)) < C:
+        a *= 1.0 + 1e-9
+    return a
+
+
+def plan_compaction(
+    csr: ShardedGraphCSR,
+    mesh,
+    seeds,
+    key: jax.Array,
+    fanout: Sequence[int],
+    *,
+    axis_name: str = "data",
+    safety: float = 1.25,
+    rounds: int = 1,
+    rounds_features: Optional[int] = None,
+    dedup_features: bool = True,
+    return_loads: bool = False,
+) -> CompactionConfig:
+    """Probe-measure the exchange's per-stage peak loads on real seed
+    batches and return a :class:`CompactionConfig` that is exact on the
+    observed frontiers with a ``safety`` margin, at near-minimal
+    payload.
+
+    The two stages get independent capacities (``alpha`` for the hop
+    DRAW stages, ``alpha_features`` for the feature stage): the feature
+    stage carries nearly all the bytes but dedups, so its capacity can
+    sit tight against the measured unique-id load, while the cheap draw
+    stages absorb the per-slot skew that caused tight uniform-``alpha``
+    settings to overflow (the round-5 hop-stage residual).
+
+    Parameters: ``seeds`` — int32 ``[D, S]`` or ``[steps, D, S]`` probe
+    seed batches (row ``d`` = device ``d``'s seeds, -1 padded; use a
+    few batches from the training seed pool); ``key`` — base PRNGKey
+    (step ``t``, device ``d`` probes with ``fold_in(fold_in(key, t),
+    d)``); ``rounds`` / ``rounds_features`` — round counts to plan FOR
+    (capacity trades against rounds: exactness needs ``R·C ≥ load``).
+
+    Returns the planned config (with ``return_loads=True``, a
+    ``(config, {"draw_loads", "feature_load"})`` tuple).  The planned
+    config is exact for the probed steps by construction; training
+    still surfaces ``Trainer.last_sampling_overflow`` should a later
+    frontier exceed the probed loads by more than ``safety``.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as Pspec
+
+    fanout = tuple(int(f) for f in fanout)
+    seeds = np.asarray(seeds, np.int32)
+    if seeds.ndim == 2:
+        seeds = seeds[None]
+    if seeds.ndim != 3 or seeds.shape[1] != csr.num_shards:
+        raise ValueError(
+            "seeds must be [D, S] or [steps, D, S] with "
+            f"D == num_shards ({csr.num_shards}); got {seeds.shape}"
+        )
+    _validate_sharded_args(mesh, axis_name, csr, seeds[0])
+    D = csr.num_shards
+    S = int(seeds.shape[-1])
+
+    spec = Pspec(axis_name)
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=(spec, spec),
+    )
+    def census(gs, sd, kd):
+        dl, fl = sharded_sampling_census(
+            gs, sd[0], jax.random.wrap_key_data(kd[0]), fanout,
+            axis_name=axis_name, dedup_features=dedup_features,
+        )
+        return dl[None], fl[None]
+
+    draw_max = np.zeros(len(fanout), np.int64)
+    feat_max = 0
+    for t in range(seeds.shape[0]):
+        kt = jax.random.fold_in(key, t)
+        kd = np.stack([
+            np.asarray(jax.random.key_data(jax.random.fold_in(kt, d)))
+            for d in range(D)
+        ])
+        dl, fl = census(csr, jnp.asarray(seeds[t]), jnp.asarray(kd))
+        draw_max = np.maximum(draw_max, np.max(np.asarray(dl), axis=0))
+        feat_max = max(feat_max, int(np.max(np.asarray(fl))))
+
+    R = max(1, int(rounds))
+    R_f = R if rounds_features is None else max(1, int(rounds_features))
+    max_deg = max(csr.max_in_degree, max(fanout) if fanout else 1, 1)
+    Fb, nbud, alpha = S, S, 0.0
+    for h, f in enumerate(fanout):
+        C_h = max(1, int(np.ceil(safety * float(draw_max[h]) / R)))
+        alpha = max(alpha, _alpha_for_capacity(C_h, Fb, D))
+        Fb *= min(f, max_deg)
+        nbud += Fb
+    C_f = max(1, int(np.ceil(safety * float(feat_max) / R_f)))
+    alpha_f = _alpha_for_capacity(C_f, nbud, D)
+    cfg = CompactionConfig(
+        alpha=max(alpha, 1e-6), rounds=R,
+        dedup_features=dedup_features,
+        alpha_features=alpha_f, rounds_features=R_f,
+    )
+    if return_loads:
+        return cfg, {
+            "draw_loads": draw_max.astype(int).tolist(),
+            "feature_load": int(feat_max),
+        }
+    return cfg
 
 
 def shard_csr(
@@ -1001,8 +1221,10 @@ class GraphShardedSampledModel:
 
     ``compaction`` (default a :class:`CompactionConfig`) selects the
     compacted exchange; pass ``None`` to force the full-frontier
-    broadcast oracle.  The Trainer surfaces the exchange's overflow
-    counter as ``trainer.last_sampling_overflow``.
+    broadcast oracle, or :func:`plan_compaction`'s probe-measured
+    config for exact-with-margin capacities at near-minimal payload.
+    The Trainer surfaces the exchange's overflow counter as
+    ``trainer.last_sampling_overflow``.
 
     SAGE-family inners only (the sharded sampler is the multiset mode;
     see module docstring).  Build via :func:`graph_sharded_sage`.

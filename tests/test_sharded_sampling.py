@@ -481,6 +481,10 @@ class TestCompactedExchange:
             None,
             CompactionConfig(alpha=1.5, rounds=2),
             CompactionConfig(alpha=1.0, rounds=1),
+            CompactionConfig(  # per-stage: generous draws, tight features
+                alpha=2.0, rounds=2,
+                alpha_features=1.25, rounds_features=1,
+            ),
         ):
             @jax.jit
             @partial(
@@ -524,6 +528,195 @@ class TestCompactedExchange:
         sg4 = ShardedGraphCSR.partition(g, 4)
         with pytest.raises(ValueError, match=r"stacked \[D, S\]"):
             fwd(params, state, sg4, seeds, keys)
+
+
+class TestPerStageCompactionAndPlanner:
+    """Per-stage capacities (`alpha_features`/`rounds_features`) and the
+    probe-based planner (`plan_compaction`): the feature stage carries
+    nearly all the payload but dedups, so it can run tight while the
+    cheap draw stages stay generous — the planner measures both loads
+    on real frontiers and picks the pair."""
+
+    def _keys_for_plan(self, key, step, D):
+        kt = jax.random.fold_in(key, step)
+        return np.stack([
+            np.asarray(jax.random.key_data(jax.random.fold_in(kt, d)))
+            for d in range(D)
+        ])
+
+    def test_per_stage_override_stays_exact_and_shrinks_payload(
+        self, cpu_devices
+    ):
+        g = _graph()
+        D = 4
+        mesh = create_mesh(devices=cpu_devices[:D])
+        sg = ShardedGraphCSR.partition(g, D)
+        seeds = np.array(
+            [[3, 17, 40], [70, 140, 90], [150, 200, -1], [33, 255, 8]],
+            np.int32,
+        )
+        keys = np.stack([
+            np.asarray(jax.random.key_data(jax.random.PRNGKey(100 + r)))
+            for r in range(D)
+        ])
+        fanout = (3, 3)
+        ref, _ = _sample_all(mesh, sg, seeds, keys, fanout, None)
+        split = CompactionConfig(
+            alpha=4.0, rounds=1, alpha_features=4.0, rounds_features=1
+        )
+        got, ovf = _sample_all(mesh, sg, seeds, keys, fanout, split)
+        assert (ovf == 0).all()
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+        # the override is live in the payload model: feature bytes move
+        # with alpha_features, hop bytes do not
+        md = max(sg.max_in_degree, max(fanout), 1)
+        base = CompactionConfig(alpha=2.0, rounds=2)
+        tightf = CompactionConfig(
+            alpha=2.0, rounds=2, alpha_features=1.0, rounds_features=1
+        )
+        m0 = sharded_sampling_comm_model(
+            D=D, S=3, fanout=fanout, F=g.num_features, max_deg=md,
+            compaction=base,
+        )
+        m1 = sharded_sampling_comm_model(
+            D=D, S=3, fanout=fanout, F=g.num_features, max_deg=md,
+            compaction=tightf,
+        )
+        assert m1["hop_exchange_bytes"] == m0["hop_exchange_bytes"]
+        assert m1["feature_exchange_bytes"] < m0["feature_exchange_bytes"]
+
+    def test_census_matches_numpy_rederivation(self, cpu_devices):
+        """Census loads == a host recount over the broadcast batch's
+        node ids (per-hop frontier slots, dedup'd feature ids)."""
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from connectome_gnn_tpu.parallel.sharded_sampling import (
+            sharded_sampling_census,
+        )
+
+        g = _graph()
+        D = 4
+        mesh = create_mesh(devices=cpu_devices[:D])
+        sg = ShardedGraphCSR.partition(g, D)
+        seeds = np.array(
+            [[3, 17, 40], [70, 140, 90], [150, 200, -1], [33, 255, 8]],
+            np.int32,
+        )
+        keys = np.stack([
+            np.asarray(jax.random.key_data(jax.random.PRNGKey(100 + r)))
+            for r in range(D)
+        ])
+        fanout = (3, 3)
+
+        @jax.jit
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )
+        def census(gs, sd, kd):
+            dl, fl = sharded_sampling_census(
+                gs, sd[0], jax.random.wrap_key_data(kd[0]), fanout
+            )
+            return dl[None], fl[None]
+
+        dl, fl = census(sg, jnp.asarray(seeds), jnp.asarray(keys))
+        dl, fl = np.asarray(dl), np.asarray(fl)
+        # pmax ⇒ identical rows
+        assert (dl == dl[0]).all() and (fl == fl[0]).all()
+
+        # host recount from the broadcast oracle's node ids
+        ref, _ = _sample_all(mesh, sg, seeds, keys, fanout, None)
+        node_ids = ref[5]  # [D, NBud]
+        P_sh = sg.nodes_per_shard
+        md = max(sg.max_in_degree, max(fanout), 1)
+        S = seeds.shape[1]
+        want_draw = []
+        start, seg = 0, S
+        for f in fanout:
+            best = 0
+            for me in range(D):
+                ids = node_ids[me, start:start + seg]
+                own = np.clip(np.maximum(ids, 0) // P_sh, 0, D - 1)
+                rem = (ids >= 0) & (own != me)
+                if rem.any():
+                    best = max(best, int(np.bincount(
+                        own[rem], minlength=D
+                    ).max()))
+            want_draw.append(best)
+            start += seg
+            seg *= min(f, md)
+        want_feat = 0
+        for me in range(D):
+            ids = node_ids[me]
+            own = np.clip(np.maximum(ids, 0) // P_sh, 0, D - 1)
+            rem = (ids >= 0) & (own != me)
+            pairs = {(int(o), int(i)) for o, i in zip(own[rem], ids[rem])}
+            cnt = np.zeros(D, int)
+            for o, _ in pairs:
+                cnt[o] += 1
+            want_feat = max(want_feat, int(cnt.max()))
+        np.testing.assert_array_equal(dl[0], want_draw)
+        assert int(fl[0]) == want_feat
+
+    def test_plan_compaction_exact_and_cheaper_than_default(
+        self, cpu_devices
+    ):
+        from connectome_gnn_tpu.parallel import plan_compaction
+
+        g = _graph(n=512)
+        D = 4
+        mesh = create_mesh(devices=cpu_devices[:D])
+        sg = ShardedGraphCSR.partition(g, D)
+        rng = np.random.default_rng(0)
+        S = 16
+        seeds = rng.integers(0, 512, size=(3, D, S)).astype(np.int32)
+        fanout = (3, 3)
+        key = jax.random.PRNGKey(7)
+
+        cfg, loads = plan_compaction(
+            sg, mesh, seeds, key, fanout, return_loads=True
+        )
+        assert cfg.rounds == 1 and cfg.rounds_features == 1
+        assert loads["feature_load"] > 0
+
+        # exact (bitwise = broadcast, overflow 0) on a probed step
+        keys0 = self._keys_for_plan(key, 0, D)
+        ref, _ = _sample_all(mesh, sg, seeds[0], keys0, fanout, None)
+        got, ovf = _sample_all(mesh, sg, seeds[0], keys0, fanout, cfg)
+        assert (ovf == 0).all()
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+        # and cheaper than the uniform default config
+        md = max(sg.max_in_degree, max(fanout), 1)
+        planned = sharded_sampling_comm_model(
+            D=D, S=S, fanout=fanout, F=g.num_features, max_deg=md,
+            compaction=cfg,
+        )
+        default = sharded_sampling_comm_model(
+            D=D, S=S, fanout=fanout, F=g.num_features, max_deg=md,
+            compaction=CompactionConfig(),
+        )
+        assert (
+            planned["per_device_bytes_per_step"]
+            < default["per_device_bytes_per_step"]
+        )
+
+    def test_plan_compaction_validates_seed_shape(self, cpu_devices):
+        from connectome_gnn_tpu.parallel import plan_compaction
+
+        g = _graph()
+        mesh = create_mesh(devices=cpu_devices[:4])
+        sg = ShardedGraphCSR.partition(g, 4)
+        with pytest.raises(ValueError, match="num_shards"):
+            plan_compaction(
+                sg, mesh, np.zeros((3, 5), np.int32),
+                jax.random.PRNGKey(0), (3, 3),
+            )
 
 
 @pytest.mark.slow
