@@ -5,6 +5,7 @@ from connectome_gnn_tpu.data.batch import ConnectomeBatch, collate_graphs, round
 from connectome_gnn_tpu.data.dense import DenseConnectomeBatch, collate_dense
 from connectome_gnn_tpu.data.device_sampling import (
     DeviceGraphCSR,
+    cap_in_degree_mask,
     DeviceSampledModel,
     DeviceSeedLoader,
     SeedBatch,
@@ -56,6 +57,7 @@ __all__ = [
     "ConnectomeDataLoader",
     "DenseConnectomeBatch",
     "DeviceGraphCSR",
+    "cap_in_degree_mask",
     "DeviceSampledModel",
     "DeviceSeedLoader",
     "SeedBatch",

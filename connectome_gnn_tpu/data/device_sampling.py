@@ -68,6 +68,40 @@ from connectome_gnn_tpu.data.sampled import (HopBlock, SampledNodeBatch,
 from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
 
 
+def cap_in_degree_mask(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, cap: int
+) -> np.ndarray:
+    """Boolean keep-mask (original edge order) keeping, per receiver,
+    the ``cap`` largest-``|weight|`` in-edges; ties break to the
+    earliest edge in the stable receiver order.
+
+    This is the documented mitigation for the samplers' skewed-degree
+    memory cliff: every uniform-draw buffer is sized by the GLOBAL
+    ``max_in_degree`` (``[Fb, max_deg]`` replicated, ``[D, C, max_deg]``
+    sharded — see ``parallel/sharded_sampling.py``), so one power-law
+    hub prices the whole buffer.  Pre-clamping keeps the strongest
+    connections (kNN-style sparsification) and bounds the buffers at
+    ``cap``.  The rule is deterministic and shared by
+    :meth:`DeviceGraphCSR.from_graph`, ``ShardedGraphCSR.partition``
+    and ``partition_streamed`` (bitwise-identical results, tested).
+    """
+    cap = int(cap)
+    if cap < 1:
+        raise ValueError(f"in_degree_cap must be >= 1, got {cap}")
+    E = int(len(dst))
+    if E == 0:
+        return np.ones(0, bool)
+    order = np.argsort(dst, kind="stable")  # the stable receiver sort
+    absw = np.abs(np.asarray(w, np.float32)[order])
+    pos = np.arange(E)
+    o2 = np.lexsort((pos, -absw, dst[order]))  # dst, |w| desc, pos asc
+    dst2 = dst[order][o2]
+    rank = np.arange(E) - np.searchsorted(dst2, dst2, side="left")
+    keep = np.ones(E, bool)
+    keep[order[o2[rank >= cap]]] = False
+    return keep
+
+
 @pytree_dataclass
 class DeviceGraphCSR:
     """Receiver-grouped CSR adjacency resident on device.
@@ -121,6 +155,7 @@ class DeviceGraphCSR:
     def from_graph(
         cls, graph: ConnectomeGraph, *, packed: bool = True,
         feature_dtype: str = "float32",
+        in_degree_cap: Optional[int] = None,
     ) -> "DeviceGraphCSR":
         """One-time host prep (receiver sort) + upload.
 
@@ -129,15 +164,24 @@ class DeviceGraphCSR:
         ``"int8"`` (symmetric per-COLUMN quantization ``q = round(x /
         s)``, ``s = absmax/127`` per feature column; dequant error
         ≤ s/2 per element, tested).
+
+        ``in_degree_cap``: keep only each node's ``cap``
+        largest-``|weight|`` in-edges (:func:`cap_in_degree_mask`) —
+        bounds ``max_in_degree`` and with it every per-draw uniform
+        buffer, the skewed-degree (power-law hub) mitigation.
         """
         src, dst = graph.edge_index
+        ew = graph.edge_weight
+        if in_degree_cap is not None:
+            keep = cap_in_degree_mask(src, dst, ew, in_degree_cap)
+            src, dst, ew = src[keep], dst[keep], ew[keep]
         order = np.argsort(dst, kind="stable")
         dst_sorted = dst[order]
         counts = np.bincount(dst_sorted, minlength=graph.num_nodes)
         indptr = np.zeros(graph.num_nodes + 1, np.int32)
         np.cumsum(counts, out=indptr[1:])
         snd = src[order].astype(np.int32)
-        w = graph.edge_weight[order].astype(np.float32)
+        w = ew[order].astype(np.float32)
         adjacency = (
             dict(sender_weight=jnp.asarray(
                 np.stack([snd, w.view(np.int32)], axis=1)
@@ -904,12 +948,15 @@ def device_sampled_gcn(
     fanout: Sequence[int] = (10, 10),
     dropout: float = 0.0,
     feature_dtype: str = "float32",
+    in_degree_cap: Optional[int] = None,
 ) -> DeviceSampledModel:
     """Convenience: upload ``graph`` and wrap a matching ``NodeGCN``
     (``num_layers = len(fanout)``)."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeGCN
 
-    csr = DeviceGraphCSR.from_graph(graph, feature_dtype=feature_dtype)
+    csr = DeviceGraphCSR.from_graph(
+        graph, feature_dtype=feature_dtype, in_degree_cap=in_degree_cap
+    )
     inner = BlockedNodeGCN(
         in_channels=int(graph.node_features.shape[1]),
         hidden_dim=hidden_dim,
@@ -929,6 +976,7 @@ def device_sampled_sage(
     dropout: float = 0.0,
     dedup: bool = True,
     feature_dtype: str = "float32",
+    in_degree_cap: Optional[int] = None,
 ) -> DeviceSampledModel:
     """Convenience: upload ``graph`` and wrap a matching ``NodeSAGE``
     through the blocked aggregation path (``num_layers = len(fanout)``).
@@ -941,7 +989,9 @@ def device_sampled_sage(
     it."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
 
-    csr = DeviceGraphCSR.from_graph(graph, feature_dtype=feature_dtype)
+    csr = DeviceGraphCSR.from_graph(
+        graph, feature_dtype=feature_dtype, in_degree_cap=in_degree_cap
+    )
     inner = BlockedNodeSAGE(
         in_channels=int(graph.node_features.shape[1]),
         hidden_dim=hidden_dim,

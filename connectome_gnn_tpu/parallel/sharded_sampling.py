@@ -53,7 +53,11 @@ compacted one ``[D, C, max_deg]`` — a GLOBAL static bound, so one
 power-law hub node sets ``max_deg`` for the whole buffer.  At the
 north-star shapes (max_deg ≈ 100) this is noise; for skewed-degree
 graphs budget ``4·D·C·max_deg`` bytes per hop or pre-clamp in-degrees
-at partition time (drop edges beyond a cap) before sharding.
+at partition time: ``partition(..., in_degree_cap=K)`` /
+``partition_streamed(..., in_degree_cap=K)`` keep each node's ``K``
+largest-``|weight|`` in-edges (deterministic tie-break, bitwise equal
+between the two builders, same rule as the replicated
+``DeviceGraphCSR.from_graph(in_degree_cap=K)`` — tested).
 
 Sampling semantics are the MULTISET mode of
 :func:`~connectome_gnn_tpu.data.device_sampling.device_sample`
@@ -171,7 +175,8 @@ class ShardedGraphCSR:
 
     @classmethod
     def partition(
-        cls, graph: ConnectomeGraph, num_shards: int
+        cls, graph: ConnectomeGraph, num_shards: int,
+        *, in_degree_cap: Optional[int] = None,
     ) -> "ShardedGraphCSR":
         """Host-side one-time partition (receiver sort per shard).
 
@@ -179,6 +184,13 @@ class ShardedGraphCSR:
         when the graph fits the host.  For graphs that don't (the scale
         this mode exists for), use :func:`partition_streamed`, which
         builds only a chosen shard range from a chunked COO stream.
+
+        ``in_degree_cap`` keeps only each node's ``cap``
+        largest-``|weight|`` in-edges (:func:`~connectome_gnn_tpu.data.
+        device_sampling.cap_in_degree_mask`), bounding
+        ``max_in_degree`` and with it the owner-side draw buffers'
+        ``4·D·C·max_deg`` bytes/hop — the skewed-degree (power-law
+        hub) mitigation the module docstring budgets.
         """
         D = int(num_shards)
         N = graph.num_nodes
@@ -186,10 +198,18 @@ class ShardedGraphCSR:
         F = graph.num_features
 
         src, dst = graph.edge_index
+        w_all = graph.edge_weight
+        if in_degree_cap is not None:
+            from connectome_gnn_tpu.data.device_sampling import (
+                cap_in_degree_mask,
+            )
+
+            keep = cap_in_degree_mask(src, dst, w_all, in_degree_cap)
+            src, dst, w_all = src[keep], dst[keep], w_all[keep]
         order = np.argsort(dst, kind="stable")
         src = src[order].astype(np.int64)
         dst = dst[order].astype(np.int64)
-        w = graph.edge_weight[order].astype(np.float32)
+        w = w_all[order].astype(np.float32)
 
         counts = np.bincount(dst, minlength=D * P)
         max_deg = int(counts.max()) if counts.size else 0
@@ -230,12 +250,22 @@ class ShardedGraphCSR:
         num_shards: int,
         *,
         shard_range: Optional[tuple] = None,
+        in_degree_cap: Optional[int] = None,
     ) -> "ShardedGraphCSR":
         """Per-shard partition from a CHUNKED COO stream — the process
         materializes only its own shard range, never the whole graph
         (the ``INGEST_r02`` discipline applied to the sharded sampler:
         at the scale this mode exists for, the graph does not fit one
         host either).
+
+        ``in_degree_cap`` applies :meth:`partition`'s top-``|weight|``
+        clamp STREAMED: hub nodes (degree > cap) get a per-node
+        threshold (the cap-th largest ``|w|``, collected in one extra
+        stream replay over hub edges only — ``O(Σ hub degrees)`` host
+        memory, small for the power-law case this exists for) and a
+        tie budget, so pass 2 keeps exactly the edges the in-memory
+        rule keeps — output stays BITWISE equal to
+        ``partition(graph, D, in_degree_cap=cap)``.
 
         Parameters
         ----------
@@ -274,6 +304,52 @@ class ShardedGraphCSR:
             counts += np.bincount(
                 np.asarray(dst, np.int64), minlength=D * P
             )
+
+        # pass 1.5 (cap only): per-hub |w| threshold + tie budget
+        cap_state = None
+        if in_degree_cap is not None:
+            cap = int(in_degree_cap)
+            if cap < 1:
+                raise ValueError(
+                    f"in_degree_cap must be >= 1, got {cap}"
+                )
+            hub = counts > cap
+            if hub.any():
+                hub_nodes = np.flatnonzero(hub)
+                hub_idx = np.full(D * P, -1, np.int64)
+                hub_idx[hub_nodes] = np.arange(len(hub_nodes))
+                hoff = np.zeros(len(hub_nodes) + 1, np.int64)
+                np.cumsum(counts[hub_nodes], out=hoff[1:])
+                hvals = np.empty(hoff[-1], np.float32)
+                hcur = np.zeros(len(hub_nodes), np.int64)
+                for src, dst, w in edge_chunks():
+                    dst = np.asarray(dst, np.int64)
+                    aw = np.abs(np.asarray(w, np.float32))
+                    m = hub[np.clip(dst, 0, D * P - 1)] & (dst < D * P)
+                    if not m.any():
+                        continue
+                    hi_ = hub_idx[dst[m]]
+                    o = np.argsort(hi_, kind="stable")
+                    hi_o, av_o = hi_[o], aw[m][o]
+                    rank = np.arange(len(hi_o)) - np.searchsorted(
+                        hi_o, hi_o
+                    )
+                    hvals[hoff[hi_o] + hcur[hi_o] + rank] = av_o
+                    np.add.at(hcur, hi_o, 1)
+                thr = np.zeros(D * P, np.float32)
+                budget0 = np.zeros(D * P, np.int64)
+                for h, gid in enumerate(hub_nodes):
+                    vals = hvals[hoff[h] : hoff[h + 1]]
+                    tv = np.partition(vals, len(vals) - cap)[
+                        len(vals) - cap
+                    ]  # the cap-th largest |w|
+                    thr[gid] = tv
+                    budget0[gid] = cap - int((vals > tv).sum())
+                cap_state = (
+                    hub, thr, budget0, np.zeros(D * P, np.int64),
+                )
+                counts = np.minimum(counts, cap)
+
         max_deg = int(counts.max()) if counts.size else 0
         e_max = int(counts.reshape(D, P).sum(axis=1).max()) if D else 0
 
@@ -298,6 +374,24 @@ class ShardedGraphCSR:
             # receiver sort's order
             order = np.argsort(dloc, kind="stable")
             s, dloc, wv = s[order], dloc[order], wv[order]
+            if cap_state is not None:
+                hub_m, thr, budget0, tie_seen = cap_state
+                gid = dloc + node_lo
+                ih = hub_m[gid]
+                if ih.any():
+                    aw = np.abs(wv)
+                    keep = ~ih | (aw > thr[gid])
+                    ties = ih & (aw == thr[gid])
+                    if ties.any():
+                        tg = gid[ties]  # ascending (dloc sorted)
+                        rank_t = np.arange(len(tg)) - np.searchsorted(
+                            tg, tg
+                        )
+                        keep[ties] = (tie_seen[tg] + rank_t) < budget0[tg]
+                        np.add.at(tie_seen, tg, 1)
+                    s, dloc, wv = s[keep], dloc[keep], wv[keep]
+                    if len(dloc) == 0:
+                        continue
             rank = np.arange(len(dloc)) - np.searchsorted(dloc, dloc)
             shard = dloc // P
             v = dloc - shard * P
@@ -1268,13 +1362,20 @@ def graph_sharded_sage(
     num_layers: int = 2,
     fanout: Sequence[int] = (10, 10),
     compaction: Optional[CompactionConfig] = CompactionConfig(),
+    in_degree_cap: Optional[int] = None,
 ) -> GraphShardedSampledModel:
     """Partition ``graph`` into ``num_shards`` node ranges and wrap a
     :class:`~connectome_gnn_tpu.models.node_coo.BlockedNodeSAGE` for
-    Trainer-driven graph-sharded sampled training."""
+    Trainer-driven graph-sharded sampled training.
+
+    ``in_degree_cap`` pre-clamps each node to its ``cap``
+    largest-``|weight|`` in-edges (the skewed-degree mitigation — see
+    :meth:`ShardedGraphCSR.partition`)."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
 
-    csr = ShardedGraphCSR.partition(graph, num_shards)
+    csr = ShardedGraphCSR.partition(
+        graph, num_shards, in_degree_cap=in_degree_cap
+    )
     inner = BlockedNodeSAGE(
         in_channels=graph.num_features,
         hidden_dim=hidden_dim,

@@ -24,6 +24,7 @@ import numpy as np
 import pytest
 
 from connectome_gnn_tpu.data import (
+    ConnectomeGraph,
     device_sample,
     DeviceGraphCSR,
     generate_spatial_graph,
@@ -105,6 +106,117 @@ class TestPartition:
             jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @staticmethod
+    def _skewed_graph(seed=11, n=200, hub_extra=60):
+        """A spatial graph plus two hub receivers (one with weight
+        ties) — the power-law shape the in-degree cap exists for."""
+        g = _graph(n=n, seed=seed)
+        rng = np.random.default_rng(seed)
+        hub_dst = np.concatenate([
+            np.zeros(hub_extra, np.int64),  # hub 0: random weights
+            np.full(hub_extra, 5, np.int64),  # hub 5: many tied weights
+        ])
+        hub_src = rng.integers(0, n, size=2 * hub_extra)
+        hub_w = np.concatenate([
+            rng.uniform(0.1, 1.0, hub_extra).astype(np.float32),
+            np.full(hub_extra, 0.25, np.float32),  # exact ties
+        ])
+        src = np.concatenate([g.edge_index[0], hub_src])
+        dst = np.concatenate([g.edge_index[1], hub_dst])
+        w = np.concatenate([g.edge_weight, hub_w])
+        return ConnectomeGraph(
+            node_features=g.node_features,
+            edge_index=np.stack([src, dst]),
+            edge_weight=w,
+        )
+
+    def test_in_degree_cap_keeps_top_weight_edges(self):
+        """cap < max_deg: per node, exactly the cap largest-|w|
+        in-edges survive (ties → earliest in the stable receiver
+        order), checked against an independent numpy oracle; cap ≥
+        max_deg is a bitwise no-op."""
+        g = self._skewed_graph()
+        cap = 8
+        sg = ShardedGraphCSR.partition(g, 4, in_degree_cap=cap)
+        assert sg.max_in_degree == cap
+        P = sg.nodes_per_shard
+
+        src, dst, w = g.edge_index[0], g.edge_index[1], g.edge_weight
+        for v in (0, 5, 17):  # hubs + a regular node
+            e = np.flatnonzero(dst == v)  # stable receiver order
+            want = e[
+                sorted(range(len(e)), key=lambda i: (-abs(w[e[i]]), i))
+            ][:cap]
+            want_pairs = sorted(
+                (int(src[i]), float(np.float32(w[i]))) for i in want
+            )
+            d, vl = v // P, v % P
+            a, b = int(sg.indptr[d, vl]), int(sg.indptr[d, vl + 1])
+            rows = np.asarray(sg.sender_weight[d, a:b])
+            got_pairs = sorted(
+                (int(r[0]), float(r[1:2].view(np.float32)[0]))
+                for r in rows
+            )
+            assert got_pairs == want_pairs, v
+            assert b - a == min(cap, len(e))
+
+        # cap >= max_deg: no-op, bitwise
+        want = ShardedGraphCSR.partition(g, 4)
+        noop = ShardedGraphCSR.partition(
+            g, 4, in_degree_cap=want.max_in_degree
+        )
+        for x, y in zip(
+            jax.tree_util.tree_leaves(want),
+            jax.tree_util.tree_leaves(noop),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    @pytest.mark.parametrize("chunk", [23, 10**9])
+    def test_streamed_cap_bitwise_equals_in_memory(self, chunk):
+        """The streamed threshold+tie-budget clamp reproduces the
+        in-memory top-|w| rule bitwise, at any chunk size."""
+        g = self._skewed_graph(seed=13)
+        cap = 6
+        want = ShardedGraphCSR.partition(g, 4, in_degree_cap=cap)
+        src, dst = g.edge_index
+        w = g.edge_weight
+
+        def chunks():
+            for a in range(0, len(w), chunk):
+                yield (
+                    src[a : a + chunk], dst[a : a + chunk],
+                    w[a : a + chunk],
+                )
+
+        got = ShardedGraphCSR.partition_streamed(
+            chunks, g.node_features, g.num_nodes, 4, in_degree_cap=cap
+        )
+        assert got.max_in_degree == want.max_in_degree == cap
+        for a, b in zip(
+            jax.tree_util.tree_leaves(want),
+            jax.tree_util.tree_leaves(got),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_device_csr_cap_agrees_with_partition(self):
+        """DeviceGraphCSR.from_graph(in_degree_cap=…) keeps the same
+        per-node edge multiset as the sharded partition — the
+        replicated and sharded samplers see the same capped graph."""
+        g = self._skewed_graph(seed=17)
+        cap = 7
+        dc = DeviceGraphCSR.from_graph(g, in_degree_cap=cap)
+        sg = ShardedGraphCSR.partition(g, 4, in_degree_cap=cap)
+        assert dc.max_in_degree == sg.max_in_degree == cap
+        P = sg.nodes_per_shard
+        ip = np.asarray(dc.indptr)
+        sw = np.asarray(dc.sender_weight)
+        for v in range(g.num_nodes):
+            d, vl = v // P, v % P
+            a, b = int(sg.indptr[d, vl]), int(sg.indptr[d, vl + 1])
+            rows_s = np.asarray(sg.sender_weight[d, a:b])
+            rows_r = sw[ip[v] : ip[v + 1]]
+            np.testing.assert_array_equal(rows_s, rows_r)
 
     def test_streamed_shard_range_and_callable_features(self):
         """A (lo, hi) range materializes exactly those shards' rows; a
