@@ -323,6 +323,57 @@ def main() -> None:
             f"exchange overflow {trainer.last_sampling_overflow} "
             f"(0 = exact)"
         )
+
+        # --------------------------------------------------------------
+        # 11. Exchange auto-tuning + skew control.  plan_compaction
+        #     probes real frontiers (the broadcast oracle instrumented
+        #     to count each stage's peak bucket load) and returns
+        #     per-stage capacities exact on the probed steps at
+        #     near-minimal payload; in_degree_cap clamps the draw
+        #     buffers a power-law hub would otherwise price for every
+        #     step (measured on chip in DEGREE_CAP_r05.json).
+        # --------------------------------------------------------------
+        from connectome_gnn_tpu.parallel import (
+            plan_compaction,
+            sharded_sampling_comm_model,
+        )
+
+        probe = rng.choice(
+            order[: int(0.8 * n)], size=(3, gs_dev, 256)
+        ).astype(np.int32)
+        cfg, loads = plan_compaction(
+            gs.csr, create_mesh(), probe, jax.random.PRNGKey(1),
+            (10, 10), return_loads=True,
+        )
+        kw = dict(
+            D=gs_dev, S=256, fanout=(10, 10),
+            F=int(sw.node_features.shape[1]),
+            max_deg=max(gs.csr.max_in_degree, 10),
+        )
+
+        def _mb(c):
+            return sharded_sampling_comm_model(
+                compaction=c, **kw
+            )["per_device_bytes_per_step"] / 1e6
+
+        print(
+            f"plan_compaction: draw alpha {cfg.alpha:.2f}, feature "
+            f"alpha {cfg.alpha_features:.2f} (probed peak loads "
+            f"{loads['draw_loads']} / {loads['feature_load']}); "
+            f"payload {_mb(cfg):.2f} MB/step/device planned vs "
+            f"{_mb(CompactionConfig()):.2f} default vs {_mb(None):.2f} "
+            f"broadcast"
+        )
+
+        capped = graph_sharded_sage(
+            sw, num_shards=gs_dev, fanout=(10, 10), in_degree_cap=8
+        )
+        print(
+            f"in_degree_cap=8: max_in_degree "
+            f"{gs.csr.max_in_degree} -> {capped.csr.max_in_degree} "
+            f"(every [*, max_deg] draw buffer shrinks with it; the "
+            f"hub cliff is measured in DEGREE_CAP_r05.json)"
+        )
     else:
         print("(single device — skipping the graph-sharded sampling "
               "section; run with --cpu + XLA_FLAGS="
