@@ -1352,6 +1352,22 @@ class GraphShardedSampledModel:
         kw.setdefault("num_shards", self.csr.num_shards)
         return DeviceSeedLoader(seed_pool, node_labels, **kw)
 
+    def plan_compaction(self, mesh, seeds, key=None, **kw):
+        """Probe-measure and ADOPT exchange capacities for this model:
+        runs :func:`plan_compaction` on the model's partition/fanout
+        and sets the result on ``self.compaction``.  Returns the
+        planned config (or ``(config, loads)`` with
+        ``return_loads=True``).  The Trainer's cached steps key on the
+        config, so re-planning mid-run takes effect on the next step.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        out = plan_compaction(
+            self.csr, mesh, seeds, key, self.fanout, **kw
+        )
+        self.compaction = out[0] if isinstance(out, tuple) else out
+        return out
+
 
 def graph_sharded_sage(
     graph: ConnectomeGraph,

@@ -323,26 +323,30 @@ class Trainer:
         :class:`~connectome_gnn_tpu.parallel.sharded_sampling.
         GraphShardedSampledModel` (the beyond-replication mode: the
         partitioned graph rides sharded over the mesh axis)."""
+        m = self.model
+        # keyed by the (frozen, hashable) compaction config too: a
+        # re-planned model (`GraphShardedSampledModel.plan_compaction`)
+        # must not silently reuse steps built for the old capacities
         cache = self.__dict__.setdefault("_gs_cache", {})
-        if train not in cache:
+        key = (train, m.compaction)
+        if key not in cache:
             from connectome_gnn_tpu.parallel.sharded_sampling import (
                 make_graph_sharded_eval_step,
                 make_graph_sharded_train_step,
             )
 
-            m = self.model
             if train:
-                cache[train] = make_graph_sharded_train_step(
+                cache[key] = make_graph_sharded_train_step(
                     m.inner, self.optimizer, self.mesh, m.fanout,
                     self.axis_name, guard=self.skip_nonfinite,
                     compaction=m.compaction,
                 )
             else:
-                cache[train] = make_graph_sharded_eval_step(
+                cache[key] = make_graph_sharded_eval_step(
                     m.inner, self.mesh, m.fanout, self.axis_name,
                     compaction=m.compaction,
                 )
-        return cache[train]
+        return cache[key]
 
     def _placed_sharded_csr(self):
         # keyed by the csr's identity, like _replicated_csr — a swapped

@@ -818,6 +818,35 @@ class TestPerStageCompactionAndPlanner:
             < default["per_device_bytes_per_step"]
         )
 
+    def test_model_level_replan_rekeys_trainer_steps(self, cpu_devices):
+        """GraphShardedSampledModel.plan_compaction adopts the planned
+        config, and the Trainer's cached steps re-key on it (stale
+        steps built for the old capacities are not reused)."""
+        from connectome_gnn_tpu.parallel import graph_sharded_sage
+        from connectome_gnn_tpu.train import Trainer
+
+        g = _graph(n=512)
+        labels = np.zeros(512, np.int32)
+        mesh = create_mesh(devices=cpu_devices[:4])
+        model = graph_sharded_sage(
+            g, num_shards=4, hidden_dim=8, fanout=(3, 3)
+        )
+        va = model.make_loader(
+            np.arange(512), labels, batch_size=64, shuffle=False,
+            drop_last=True,
+        )
+        trainer = Trainer(model, mesh=mesh, seed=0)
+        m0 = trainer.evaluate(va)
+        default_cfg = model.compaction
+        rng = np.random.default_rng(0)
+        seeds = rng.integers(0, 512, size=(2, 4, 16)).astype(np.int32)
+        cfg = model.plan_compaction(mesh, seeds, jax.random.PRNGKey(3))
+        assert cfg is model.compaction and cfg != default_cfg
+        m1 = trainer.evaluate(va)
+        assert m1["total"] == m0["total"]
+        keys = set(trainer._gs_cache)
+        assert (False, default_cfg) in keys and (False, cfg) in keys
+
     def test_plan_compaction_validates_seed_shape(self, cpu_devices):
         from connectome_gnn_tpu.parallel import plan_compaction
 
