@@ -470,12 +470,46 @@ def run_graph_sharded(mesh, shard_range) -> dict:
     counted = count_collective_bytes(
         raw, params, state, opt_state, jax.random.PRNGKey(1), sg, *args
     )
+
+    # plan_compaction ACROSS the process boundary: every process runs
+    # the probe census (loads pmaxed over the whole mesh) and must
+    # derive the IDENTICAL per-stage config — verified implicitly by
+    # the drift comparison on the planned-config step losses appended
+    # below, and explicitly by the recorded alphas.
+    from connectome_gnn_tpu.parallel import plan_compaction
+
+    rng_p = np.random.default_rng(7)
+    probe = np.stack([
+        rng_p.permutation(g.num_nodes)[: D * S].reshape(D, S)
+        for _ in range(2)
+    ]).astype(np.int32)
+    planned = plan_compaction(
+        sg, mesh, probe, jax.random.PRNGKey(17), (4, 4)
+    )
+    planned_raw = make_graph_sharded_train_step(
+        model, opt, mesh, (4, 4), compaction=planned
+    )
+    ovfs_planned = []
+    for i in (2, 3):
+        args = global_batch(i)
+        params, state, opt_state, loss, n, ovf = planned_raw(
+            params, state, opt_state, jax.random.PRNGKey(1), sg, *args
+        )
+        losses.append(float(loss))
+        ovfs_planned.append(int(ovf))
+
     return {
         "losses": losses,
         "params_sum": _checksum(params),
         "n": float(n),
         "compaction": {"alpha": comp.alpha, "rounds": comp.rounds,
                        "overflow_per_step": ovfs},
+        "compaction_planned": {
+            "alpha": planned.alpha, "rounds": planned.rounds,
+            "alpha_features": planned.alpha_features,
+            "rounds_features": planned.rounds_features,
+            "overflow_per_step": ovfs_planned,
+        },
         "step_time_s": dt,
         # counted from the train step's OWN jaxpr (fwd exchange + bwd
         # feature-cotangent exchange + grad allreduce + sync-BN psums)

@@ -1160,10 +1160,22 @@ def plan_compaction(
     config is exact for the probed steps by construction; training
     still surfaces ``Trainer.last_sampling_overflow`` should a later
     frontier exceed the probed loads by more than ``safety``.
+
+    Multi-process runs follow the framework's multi-host data
+    contract: every process calls with the SAME global ``seeds`` /
+    ``key`` (each lifts only its own rows internally) and a ``csr``
+    it can place — either the full in-memory partition or one already
+    placed with :func:`shard_csr`.  The probed loads are pmaxed over
+    the whole mesh, so every process plans the identical config.
     """
     from functools import partial
 
     from jax.sharding import PartitionSpec as Pspec
+
+    from connectome_gnn_tpu.parallel.distributed import (
+        assemble_global,
+        local_shard_range,
+    )
 
     fanout = tuple(int(f) for f in fanout)
     seeds = np.asarray(seeds, np.int32)
@@ -1177,6 +1189,10 @@ def plan_compaction(
     _validate_sharded_args(mesh, axis_name, csr, seeds[0])
     D = csr.num_shards
     S = int(seeds.shape[-1])
+    lo_r, hi_r = (
+        local_shard_range(D) if jax.process_count() > 1 else (0, D)
+    )
+    gs_placed = shard_csr(csr, mesh, axis_name)
 
     spec = Pspec(axis_name)
 
@@ -1192,6 +1208,11 @@ def plan_compaction(
         )
         return dl[None], fl[None]
 
+    def _local(x):  # pmaxed outputs: any addressable rows carry the max
+        return np.asarray(
+            x.addressable_data(0) if jax.process_count() > 1 else x
+        )
+
     draw_max = np.zeros(len(fanout), np.int64)
     feat_max = 0
     for t in range(seeds.shape[0]):
@@ -1200,9 +1221,16 @@ def plan_compaction(
             np.asarray(jax.random.key_data(jax.random.fold_in(kt, d)))
             for d in range(D)
         ])
-        dl, fl = census(csr, jnp.asarray(seeds[t]), jnp.asarray(kd))
-        draw_max = np.maximum(draw_max, np.max(np.asarray(dl), axis=0))
-        feat_max = max(feat_max, int(np.max(np.asarray(fl))))
+        dl, fl = census(
+            gs_placed,
+            assemble_global(seeds[t][lo_r:hi_r], mesh, axis_name),
+            assemble_global(kd[lo_r:hi_r], mesh, axis_name),
+        )
+        dl, fl = _local(dl), _local(fl)
+        if dl.ndim == 1:  # addressable_data of a [D, H] row stack
+            dl = dl[None]
+        draw_max = np.maximum(draw_max, np.max(dl, axis=0))
+        feat_max = max(feat_max, int(np.max(fl)))
 
     R = max(1, int(rounds))
     R_f = R if rounds_features is None else max(1, int(rounds_features))

@@ -182,6 +182,14 @@ class TestCrossProcessDryrun:
         # boundary and stayed exact (no capacity overflow)
         gs = artifact["multiprocess"]["graph_sharded"]
         assert gs["compaction"]["overflow_per_step"] == [0, 0]
+        # plan_compaction ran on BOTH sides of the process boundary and
+        # derived the identical per-stage config, exact on real steps
+        gp = gs["compaction_planned"]
+        ref_p = artifact["reference_single_process"]["graph_sharded"][
+            "compaction_planned"
+        ]
+        assert gp == ref_p
+        assert gp["overflow_per_step"] == [0, 0]
         for prog, d in artifact["drift"].items():
             assert d["max_rel_err"] <= d["bound"], prog
         for prog, t in artifact["timing"].items():
