@@ -642,6 +642,59 @@ class TestCompactedExchange:
             fwd(params, state, sg4, seeds, keys)
 
 
+class TestExchangeFuzz:
+    """Seeded sweep: random graphs × random compaction configs through
+    the broadcast-equality oracle — breadth beyond the hand-picked
+    cases.  Whenever the capacity bound holds (overflow 0) the
+    compacted exchange must be BITWISE equal to the broadcast oracle;
+    when it doesn't, drops must be deterministic (same run twice)."""
+
+    def test_random_configs_match_oracle_or_drop_deterministically(
+        self, cpu_devices
+    ):
+        rng = np.random.default_rng(42)
+        mesh = create_mesh(devices=cpu_devices[:4])
+        for trial in range(4):
+            g = generate_spatial_graph(
+                192, degree=int(rng.integers(3, 7)),
+                band=int(rng.integers(12, 40)),
+                seed=int(rng.integers(0, 1000)),
+                shortcut_frac=float(rng.uniform(0.0, 0.4)),
+            )
+            sg = ShardedGraphCSR.partition(g, 4)
+            seeds = rng.integers(-1, 192, size=(4, 3)).astype(np.int32)
+            keys = np.stack([
+                np.asarray(jax.random.key_data(
+                    jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+                ))
+                for _ in range(4)
+            ])
+            fanout = (int(rng.integers(2, 4)), int(rng.integers(2, 4)))
+            comp = CompactionConfig(
+                alpha=float(rng.uniform(0.5, 4.0)),
+                rounds=int(rng.integers(1, 4)),
+                dedup_features=bool(rng.integers(0, 2)),
+                alpha_features=float(rng.uniform(0.5, 4.0)),
+                rounds_features=int(rng.integers(1, 3)),
+            )
+            ref, _ = _sample_all(mesh, sg, seeds, keys, fanout, None)
+            got, ovf = _sample_all(mesh, sg, seeds, keys, fanout, comp)
+            if int(np.asarray(ovf).sum()) == 0:
+                for a, b in zip(ref, got):
+                    np.testing.assert_array_equal(a, b, err_msg=str(
+                        (trial, comp)
+                    ))
+            else:
+                got2, ovf2 = _sample_all(
+                    mesh, sg, seeds, keys, fanout, comp
+                )
+                np.testing.assert_array_equal(ovf, ovf2)
+                for a, b in zip(got, got2):
+                    np.testing.assert_array_equal(a, b, err_msg=str(
+                        (trial, comp)
+                    ))
+
+
 class TestPerStageCompactionAndPlanner:
     """Per-stage capacities (`alpha_features`/`rounds_features`) and the
     probe-based planner (`plan_compaction`): the feature stage carries
