@@ -69,7 +69,7 @@ from connectome_gnn_tpu.utils.pytree import pytree_dataclass, static_field
 
 
 def cap_in_degree_mask(
-    src: np.ndarray, dst: np.ndarray, w: np.ndarray, cap: int
+    dst: np.ndarray, w: np.ndarray, cap: int
 ) -> np.ndarray:
     """Boolean keep-mask (original edge order) keeping, per receiver,
     the ``cap`` largest-``|weight|`` in-edges; ties break to the
@@ -173,7 +173,7 @@ class DeviceGraphCSR:
         src, dst = graph.edge_index
         ew = graph.edge_weight
         if in_degree_cap is not None:
-            keep = cap_in_degree_mask(src, dst, ew, in_degree_cap)
+            keep = cap_in_degree_mask(dst, ew, in_degree_cap)
             src, dst, ew = src[keep], dst[keep], ew[keep]
         order = np.argsort(dst, kind="stable")
         dst_sorted = dst[order]

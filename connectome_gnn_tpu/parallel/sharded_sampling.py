@@ -204,7 +204,7 @@ class ShardedGraphCSR:
                 cap_in_degree_mask,
             )
 
-            keep = cap_in_degree_mask(src, dst, w_all, in_degree_cap)
+            keep = cap_in_degree_mask(dst, w_all, in_degree_cap)
             src, dst, w_all = src[keep], dst[keep], w_all[keep]
         order = np.argsort(dst, kind="stable")
         src = src[order].astype(np.int64)
@@ -1227,8 +1227,7 @@ def plan_compaction(
             assemble_global(kd[lo_r:hi_r], mesh, axis_name),
         )
         dl, fl = _local(dl), _local(fl)
-        if dl.ndim == 1:  # addressable_data of a [D, H] row stack
-            dl = dl[None]
+        assert dl.ndim == 2  # [D_local, H] rows, all pmaxed-identical
         draw_max = np.maximum(draw_max, np.max(dl, axis=0))
         feat_max = max(feat_max, int(np.max(fl)))
 
@@ -1380,18 +1379,25 @@ class GraphShardedSampledModel:
         kw.setdefault("num_shards", self.csr.num_shards)
         return DeviceSeedLoader(seed_pool, node_labels, **kw)
 
-    def plan_compaction(self, mesh, seeds, key=None, **kw):
+    def plan_compaction(self, mesh, seeds, key=None, *,
+                        placed_csr=None, **kw):
         """Probe-measure and ADOPT exchange capacities for this model:
         runs :func:`plan_compaction` on the model's partition/fanout
         and sets the result on ``self.compaction``.  Returns the
         planned config (or ``(config, loads)`` with
         ``return_loads=True``).  The Trainer's cached steps key on the
         config, so re-planning mid-run takes effect on the next step.
+
+        ``placed_csr``: an already-placed partition (``shard_csr``'s
+        output — e.g. the Trainer's cached placement) to probe
+        against; without it the host partition is placed afresh, which
+        at giant-graph scale is a second full host→device transfer.
         """
         if key is None:
             key = jax.random.PRNGKey(0)
         out = plan_compaction(
-            self.csr, mesh, seeds, key, self.fanout, **kw
+            placed_csr if placed_csr is not None else self.csr,
+            mesh, seeds, key, self.fanout, **kw
         )
         self.compaction = out[0] if isinstance(out, tuple) else out
         return out

@@ -330,6 +330,10 @@ class Trainer:
         cache = self.__dict__.setdefault("_gs_cache", {})
         key = (train, m.compaction)
         if key not in cache:
+            # evict steps built for superseded configs: periodic
+            # re-planning must not accumulate dead compiled programs
+            for stale in [k for k in cache if k[1] != m.compaction]:
+                del cache[stale]
             from connectome_gnn_tpu.parallel.sharded_sampling import (
                 make_graph_sharded_eval_step,
                 make_graph_sharded_train_step,

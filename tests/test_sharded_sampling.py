@@ -897,8 +897,10 @@ class TestPerStageCompactionAndPlanner:
         assert cfg is model.compaction and cfg != default_cfg
         m1 = trainer.evaluate(va)
         assert m1["total"] == m0["total"]
+        # fresh steps for the planned config; stale-config steps evicted
         keys = set(trainer._gs_cache)
-        assert (False, default_cfg) in keys and (False, cfg) in keys
+        assert (False, cfg) in keys
+        assert all(k[1] == cfg for k in keys)
 
     def test_plan_compaction_validates_seed_shape(self, cpu_devices):
         from connectome_gnn_tpu.parallel import plan_compaction
