@@ -951,7 +951,9 @@ def device_sampled_gcn(
     in_degree_cap: Optional[int] = None,
 ) -> DeviceSampledModel:
     """Convenience: upload ``graph`` and wrap a matching ``NodeGCN``
-    (``num_layers = len(fanout)``)."""
+    (``num_layers = len(fanout)``).  ``in_degree_cap`` pre-clamps each
+    node to its ``cap`` strongest in-edges (the skewed-degree
+    mitigation — see :meth:`DeviceGraphCSR.from_graph`)."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeGCN
 
     csr = DeviceGraphCSR.from_graph(
@@ -986,7 +988,8 @@ def device_sampled_sage(
     receiver-side weighted mean, so duplicate sender slots change
     nothing but BatchNorm occurrence weighting; GCN's sender-degree
     normalization would change meaning, so only the SAGE family offers
-    it."""
+    it.  ``in_degree_cap`` pre-clamps each node to its ``cap``
+    strongest in-edges (see :meth:`DeviceGraphCSR.from_graph`)."""
     from connectome_gnn_tpu.models.node_coo import BlockedNodeSAGE
 
     csr = DeviceGraphCSR.from_graph(
